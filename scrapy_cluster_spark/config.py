@@ -1,0 +1,60 @@
+"""Engine configuration, mirroring the reference's throughput-defining
+defaults (cites: /root/reference/crawler/crawling/settings.py).
+
+The reference throttle is wall-clock and continuous; the rebuild is
+round-based.  We pin ``round_len == window`` so the per-domain quota per
+round equals ``hits`` exactly (BASELINE.md "Default politeness budget";
+settings.py:39-40) and moderation becomes deterministic slot assignment
+(redis_throttled_queue.py:58-65).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # Politeness budget — settings.py:39-43
+    queue_hits: int = 10
+    queue_window: int = 60
+    queue_moderated: bool = True
+    # Throttle scoping — settings.py:85-88 (SCHEDULER_TYPE_ENABLED / IP_ENABLED)
+    throttle_type_enabled: bool = True
+    throttle_ip_enabled: bool = False
+    # Dupefilter retention (seconds) — settings.py:46 (DUPEFILTER_TIMEOUT)
+    dupefilter_timeout: int = 600
+    # Global per-domain page cap — settings.py:49 (None = off)
+    global_page_per_domain_limit: int | None = None
+    # Retry — settings.py:174 (RETRY_TIMES) + redis_retry_middleware.py:9-18
+    retry_times: int = 3
+    # Priority decay per depth / per retry — link_spider.py:68-69,
+    # redis_retry_middleware.py:15 ("priority - 10")
+    priority_decay: int = 10
+    # Backlog blacklisted domains instead of dropping at enqueue —
+    # settings.py:61 (SCHEDULER_BACKLOG_BLACKLIST)
+    backlog_blacklist: bool = True
+    # Round length in seconds (== queue_window; see module docstring)
+    round_len: int = 60
+    # Frontier physical layout: number of domain-hash buckets.
+    # At 10^10 URLs this is the unit of partition pruning + bloom sidecars.
+    frontier_buckets: int = 32
+    # Hot-domain salting: two-phase top-k kicks in above this backlog
+    salt_partitions: int = 8
+    # Request-schema defaults — kafka-monitor/plugins/scraper_schema.json
+    default_spiderid: str = "link"
+    default_priority: int = 1
+    default_maxdepth: int = 0
+
+
+DEFAULT_CONFIG = EngineConfig()
+
+# Request JSON-Schema constraints (scraper_schema.json:1-98) used by the
+# ingest validator (operators/ingest.py).
+REQUEST_CONSTRAINTS = {
+    "appid": {"min_len": 3, "max_len": 40},
+    "crawlid": {"min_len": 1, "max_len": 40},
+    "priority": {"min": 1, "max": 100},
+    "maxdepth": {"min": 0, "max": 3},
+    "domain_max_pages": {"min": 0, "max": 2000},
+}

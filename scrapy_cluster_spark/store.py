@@ -1,0 +1,152 @@
+"""SnapshotStore — versioned parquet tables with atomic manifest swaps.
+
+The reference keeps all state externally durable in Redis, which is what
+makes each scheduler poll a pure function of state (SURVEY.md §1.3).
+Here the same property comes from snapshot isolation: every table is a
+list of immutable parquet files named by a versioned JSON manifest;
+readers resolve ``_current`` (an atomically-replaced pointer file) to a
+manifest and see a consistent snapshot; writers stage new files then
+swap the pointer.  This is Iceberg's model reduced to what the engine
+needs (append / overwrite / time-travel / lineage); on a production
+cluster the same code targets real Iceberg tables — only this module
+changes.
+
+Why not require Iceberg here: the sandbox has no Iceberg runtime jars,
+and the engine's correctness argument (resume from snapshot, per-round
+lineage — north_rule) only needs atomic manifest commits, which
+``os.replace`` provides on a posix filesystem.
+
+Scale note (10^10-row frontier): ``append`` is O(new data) — the
+manifest lists old + new files, nothing is rewritten.  ``overwrite`` is
+O(table) and is used only for the frontier merge each round; the
+physical layout hash-partitions the frontier into
+``config.frontier_buckets`` domain buckets so a real-Iceberg deployment
+rewrites only touched buckets (MERGE).  All other state tables are
+append-only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+class SnapshotStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ------------------------------------------------------------
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _manifest_path(self, table: str, version: int) -> str:
+        return os.path.join(self._tdir(table), "manifests", f"v{version:08d}.json")
+
+    def _current_path(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_current")
+
+    # -- manifest resolution ----------------------------------------------
+    def current_version(self, table: str) -> int:
+        """Current snapshot version; 0 = empty table."""
+        try:
+            with open(self._current_path(table)) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def _read_manifest(self, table: str, version: int) -> dict:
+        with open(self._manifest_path(table, version)) as f:
+            return json.load(f)
+
+    def files(self, table: str, version: int | None = None) -> list[str]:
+        v = self.current_version(table) if version is None else version
+        if v == 0:
+            return []
+        return self._read_manifest(table, v)["files"]
+
+    # -- read ---------------------------------------------------------------
+    def read(self, table: str, schema: StructType, version: int | None = None) -> DataFrame:
+        """Snapshot read.  ``version`` enables time travel (resume tests)."""
+        files = self.files(table, version)
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*files)
+
+    def exists(self, table: str) -> bool:
+        return self.current_version(table) > 0
+
+    # -- write ---------------------------------------------------------------
+    def _stage(self, table: str, df: DataFrame, partition_by: list[str] | None) -> list[str]:
+        stage = os.path.join(self._tdir(table), "data", uuid.uuid4().hex[:12])
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(stage)
+        out: list[str] = []
+        for dirpath, _dirs, fnames in os.walk(stage):
+            for fn in fnames:
+                if fn.endswith(".parquet"):
+                    out.append(os.path.join(dirpath, fn))
+        return sorted(out)
+
+    def _commit(self, table: str, files: list[str], meta: dict | None = None) -> int:
+        tdir = self._tdir(table)
+        os.makedirs(os.path.join(tdir, "manifests"), exist_ok=True)
+        new_v = self.current_version(table) + 1
+        manifest = {
+            "version": new_v,
+            "files": files,
+            "committed_at": time.time(),
+            "meta": meta or {},
+        }
+        mpath = self._manifest_path(table, new_v)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mpath)
+        cur_tmp = self._current_path(table) + ".tmp"
+        with open(cur_tmp, "w") as f:
+            f.write(str(new_v))
+        os.replace(cur_tmp, self._current_path(table))  # the atomic commit point
+        return new_v
+
+    def append(self, table: str, df: DataFrame, partition_by: list[str] | None = None,
+               meta: dict | None = None) -> int:
+        """O(new data): manifest = old files + staged files (Iceberg append)."""
+        new_files = self._stage(table, df, partition_by)
+        return self._commit(table, self.files(table) + new_files, meta)
+
+    def overwrite(self, table: str, df: DataFrame, partition_by: list[str] | None = None,
+                  meta: dict | None = None) -> int:
+        """Full-snapshot replace (Iceberg overwrite).  Old files remain for
+        time travel until a retention job removes expired snapshots."""
+        new_files = self._stage(table, df, partition_by)
+        return self._commit(table, new_files, meta)
+
+    # -- retention ----------------------------------------------------------
+    def expire_snapshots(self, table: str, keep_last: int = 3) -> None:
+        """Delete data files referenced only by expired manifests (the
+        TTL-based GC analog — reference EXPIREs dupefilter/throttle keys,
+        redis_dupefilter.py:27, redis_throttled_queue.py:143)."""
+        cur = self.current_version(table)
+        if cur == 0:
+            return
+        keep = set(range(max(1, cur - keep_last + 1), cur + 1))
+        live: set[str] = set()
+        for v in keep:
+            live.update(self._read_manifest(table, v)["files"])
+        mdir = os.path.join(self._tdir(table), "manifests")
+        for fn in os.listdir(mdir):
+            v = int(fn[1:9]) if fn.startswith("v") else None
+            if v and v not in keep:
+                for f in self._read_manifest(table, v)["files"]:
+                    if f not in live and os.path.exists(f):
+                        os.remove(f)
+                os.remove(os.path.join(mdir, fn))
