@@ -1,0 +1,184 @@
+"""Control plane: stop / expire / info / stats / zk actions.
+
+Reference: the redis-monitor polls Redis for action keys set by the
+kafka-monitor plugins, dispatching each to a plugin under a per-key
+distributed lock with retry/poison handling
+(redis-monitor/redis_monitor.py:166-249).  All of that machinery exists
+because Redis ops are not atomic across keys; here one snapshot commit
+per table is atomic, so a control pass is a handful of plain DataFrame
+jobs (SURVEY.md §3.2).
+
+Actions (one control pass per round, before scheduling):
+  stop    — add (appid, crawlid) to blacklist, purge matching frontier
+            rows, ack with total_purged (plugins/stop_monitor.py:16-113)
+  expire  — same purge when now > expires, ack action:'expired'
+            (plugins/expire_monitor.py:18-72)
+  info    — appid/crawlid rollups from the frontier
+            (plugins/info_monitor.py:81-202) → stats.py
+  stats   — metrics rollups (plugins/stats_monitor.py:15-67) → stats.py
+  zk-update / zk-remove — MERGE into domain_config
+            (plugins/zookeeper_monitor.py:26-109)
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, functions as F
+
+from scrapy_cluster_spark.operators.stats import build_appid_info, build_crawlid_info
+from scrapy_cluster_spark.schemas import (
+    ACTIONS_SCHEMA,
+    BLACKLIST_SCHEMA,
+    CRAWL_JOBS_SCHEMA,
+    DOMAIN_CONFIG_SCHEMA,
+    FRONTIER_SCHEMA,
+    OUTBOUND_SCHEMA,
+)
+from scrapy_cluster_spark.store import SnapshotStore
+
+
+def _ack(row: dict, action: str, payload: dict, now: float) -> tuple:
+    return (
+        row.get("uuid"),
+        action,
+        row.get("spiderid"),
+        row.get("appid"),
+        row.get("crawlid"),
+        int(now),
+        json.dumps(payload, sort_keys=True),
+    )
+
+
+def _purge(frontier: DataFrame, spiderid: str, appid: str, crawlid: str | None) -> tuple[DataFrame, DataFrame]:
+    """Split frontier into (purged, kept) for a stop/expire target.
+    crawlid=None purges every crawl of the appid (stop_monitor handles
+    both key shapes, stop_monitor.py:27-38)."""
+    cond = (F.col("spiderid") == spiderid) & (F.col("appid") == appid)
+    if crawlid:
+        cond = cond & (F.col("crawlid") == crawlid)
+    return frontier.filter(cond), frontier.filter(~cond)
+
+
+def process_actions(store: SnapshotStore, round_id: int, now: float | None = None) -> int:
+    """Consume all pending actions; returns number processed.
+
+    Mirrors the monitor loop but with snapshot semantics: actions are
+    read once, every effect lands as one table commit, and the actions
+    table is truncated (the reference deletes each key after handling,
+    redis_monitor.py:246)."""
+    spark = store.spark
+    if now is None:
+        now = float(round_id * 60)
+    actions = store.read("actions", ACTIONS_SCHEMA)
+    pending = actions.collect()  # control-plane rows are few by design
+    crawl_jobs = store.read("crawl_jobs", CRAWL_JOBS_SCHEMA)
+    # expire actions are generated implicitly from crawl_jobs whose
+    # timeout has passed (expire_monitor precondition :18-26)
+    expired_jobs = crawl_jobs.filter(
+        (F.col("expires") != 0) & (F.lit(now) > F.col("expires"))
+    ).collect()
+    if not pending and not expired_jobs:
+        return 0
+
+    frontier = store.read("frontier", FRONTIER_SCHEMA)
+    domain_config = store.read("domain_config", DOMAIN_CONFIG_SCHEMA)
+
+    acks: list[tuple] = []
+    new_blacklist: list[tuple] = []
+    frontier_dirty = False
+    jobs_dirty = bool(expired_jobs)
+
+    for job in expired_jobs:
+        purged, frontier = _purge(frontier, job.spiderid, job.appid, job.crawlid)
+        n = purged.count()
+        frontier_dirty = frontier_dirty or n > 0
+        new_blacklist.append((job.spiderid, job.appid, job.crawlid))
+        acks.append(
+            _ack(
+                {"uuid": None, "spiderid": job.spiderid, "appid": job.appid, "crawlid": job.crawlid},
+                "expired",
+                {"action": "expired", "total_expired": n, "spiderid": job.spiderid,
+                 "appid": job.appid, "crawlid": job.crawlid},
+                now,
+            )
+        )
+    if expired_jobs:
+        crawl_jobs = crawl_jobs.filter(~((F.col("expires") != 0) & (F.lit(now) > F.col("expires"))))
+
+    zk_updates: list[tuple] = []
+    zk_removes: list[str] = []
+
+    for row in pending:
+        r = row.asDict()
+        a = r["action"]
+        if a == "stop":
+            purged, frontier = _purge(frontier, r["spiderid"], r["appid"], r["crawlid"])
+            n = purged.count()
+            frontier_dirty = True
+            new_blacklist.append((r["spiderid"], r["appid"], r["crawlid"]))
+            acks.append(_ack(r, "stop", {"action": "stop", "total_purged": n,
+                                         "spiderid": r["spiderid"], "appid": r["appid"],
+                                         "crawlid": r["crawlid"], "uuid": r["uuid"]}, now))
+        elif a == "info":
+            if r["crawlid"]:
+                payload = build_crawlid_info(frontier, crawl_jobs, r["spiderid"], r["appid"], r["crawlid"])
+            else:
+                payload = build_appid_info(frontier, r["spiderid"], r["appid"])
+            acks.append(_ack(r, "info", payload, now))
+        elif a == "stats":
+            # assembled by the caller via stats.py rollups; ack the request
+            acks.append(_ack(r, "stats", {"stats": r["stats"] or "all"}, now))
+        elif a == "zk-update":
+            # domain update requires hits & window ≠ 0 (zookeeper_handler.py:49-56)
+            if r["hits"] and r["window"]:
+                zk_updates.append((r["domain"], r["window"], r["hits"], r["scale"] or 1.0, False))
+                acks.append(_ack(r, "zk-update", {"domain": r["domain"], "uuid": r["uuid"]}, now))
+        elif a == "zk-remove":
+            zk_removes.append(r["domain"])
+            acks.append(_ack(r, "zk-remove", {"domain": r["domain"], "uuid": r["uuid"]}, now))
+
+    # ---- commit effects
+    if new_blacklist:
+        store.append(
+            "blacklist",
+            spark.createDataFrame(new_blacklist, BLACKLIST_SCHEMA),
+            meta={"round": round_id},
+        )
+    if frontier_dirty:
+        store.overwrite("frontier", frontier, partition_by=["bucket"], meta={"round": round_id, "purge": True})
+    if jobs_dirty:
+        store.overwrite("crawl_jobs", crawl_jobs, meta={"round": round_id})
+    if zk_updates or zk_removes:
+        cfg_df = domain_config
+        if zk_removes:
+            cfg_df = cfg_df.filter(~F.col("domain").isin(zk_removes))
+        if zk_updates:
+            upd = spark.createDataFrame(zk_updates, DOMAIN_CONFIG_SCHEMA)
+            cfg_df = cfg_df.join(upd.select("domain"), "domain", "left_anti").unionByName(upd)
+        store.overwrite("domain_config", cfg_df, meta={"round": round_id})
+    if acks:
+        store.append("outbound", spark.createDataFrame(acks, OUTBOUND_SCHEMA), meta={"round": round_id})
+    store.overwrite("actions", spark.createDataFrame([], ACTIONS_SCHEMA), meta={"round": round_id})
+
+    # control effects are lineage events (same reason as feeds: resume
+    # reads lineage outputs, so post-round mutations must be recorded)
+    from scrapy_cluster_spark.plans.round import STATE_TABLES, _commit_lineage, last_lineage
+
+    prev = last_lineage(store)
+    _commit_lineage(
+        store,
+        {
+            "round": prev["round"] if prev else 0,
+            "type": "control",
+            "inputs": (prev or {}).get("outputs", {}),
+            "outputs": {t: store.current_version(t) for t in STATE_TABLES},
+        },
+    )
+    return len(pending)
+
+
+def feed_action(store: SnapshotStore, action: dict) -> None:
+    """API-side action feed (kafka-monitor action/stats/zk plugins)."""
+    row = {f.name: action.get(f.name) for f in ACTIONS_SCHEMA.fields}
+    store.append("actions", store.spark.createDataFrame([row], ACTIONS_SCHEMA))

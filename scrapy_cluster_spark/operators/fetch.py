@@ -1,0 +1,92 @@
+"""Simulated fetch: join the scheduled batch against the ``pages`` table.
+
+Reference: the Scrapy downloader fetches over HTTP with a 10 s timeout
+and all HTTP codes allowed (crawler/crawling/settings.py:169-179).  In
+the rebuild the web is the ``pages`` Iceberg table (BASELINE.json
+input_hint) and "fetching" is a join on url (SURVEY.md §2.3 "Fetch"):
+
+  - matched row  → status 200 response; body = html; links/text
+    extracted by the pandas UDFs (lxmlhtml.py:18-46 contract).
+  - unmatched    → simulated connection failure (the retry-middleware
+    path, redis_retry_middleware.py:9-18).
+
+The scheduled batch is tiny relative to ``pages`` (quota-bounded: at
+most Σ quota rows per round) → broadcast the batch side so the join is
+a broadcast-hash join with NO shuffle of the pages scan, and predicate
+pushdown prunes the pages partitions by the batch's domains when pages
+is domain-partitioned.
+
+Item assembly mirrors RawResponseItem (crawler/crawling/items.py:8-23)
+with the ISO-8601 timestamp of pipelines.py:134-138.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from scrapy_cluster_spark.functions.html import extract_links_udf
+from scrapy_cluster_spark.schemas import CRAWLED_SCHEMA
+
+
+def fetch_batch(scheduled: DataFrame, pages: DataFrame) -> DataFrame:
+    """Scheduled rows ⨝ pages — adds html/text/lang/warc_ts, null when
+    the url does not exist (fetch failure)."""
+    return scheduled.alias("s").join(
+        F.broadcast(pages.select("url", "html", "text", "lang", "warc_ts")).alias("p"),
+        "url",
+        "left",
+    )
+
+
+def assemble_items(fetched: DataFrame, round_id: int, cfg_round_len: int) -> DataFrame:
+    """Fetched rows → RawResponseItem-shaped ``crawled`` rows."""
+    ok = F.col("html").isNotNull()
+    ts = F.lit(round_id * cfg_round_len).cast("timestamp")
+    out = (
+        fetched.withColumn("status_code", F.when(ok, F.lit(200)).otherwise(F.lit(None).cast("int")))
+        .withColumn("status_msg", F.when(ok, F.lit("OK")))
+        .withColumn("success", ok)
+        .withColumn(
+            "exception",
+            F.when(~ok, F.lit("twisted.internet.error.ConnectError: simulated fetch failure")),
+        )
+        .withColumn("response_url", F.when(ok, F.col("url")))
+        .withColumn("body", F.col("html"))
+        .withColumn(
+            "links_full",
+            F.when(ok, extract_links_udf(F.col("html"), F.col("url"))).otherwise(
+                F.lit(None)
+            ),
+        )
+        .withColumn(
+            "links",
+            F.transform(
+                F.coalesce("links_full", F.array()),
+                lambda l: F.struct(l["url"].alias("url"), l["text"].alias("text")),
+            ),
+        )
+        .withColumn(
+            "response_headers",
+            F.when(
+                ok,
+                F.create_map(
+                    F.lit("Content-Type"), F.array(F.lit("text/html; charset=utf-8"))
+                ),
+            ),
+        )
+        .withColumn(
+            "request_headers",
+            F.when(
+                F.col("useragent").isNotNull(),
+                F.create_map(F.lit("User-Agent"), F.array(F.col("useragent"))),
+            ),
+        )
+        .withColumn("encoding", F.when(ok, F.lit("utf-8")))
+        .withColumn("timestamp", F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"))
+        .withColumn("round", F.lit(round_id).cast("long"))
+    )
+    return out
+
+
+def project_crawled(items: DataFrame) -> DataFrame:
+    return items.select(*[f.name for f in CRAWLED_SCHEMA.fields])

@@ -1,0 +1,98 @@
+"""Crawl driver loop: feed seeds, run rounds to quiescence, resume.
+
+The reference runs continuously (spiders poll, kafka-monitor sleeps
+0.01 s — kafka-monitor/settings.py:59); the rebuild's unit of progress
+is the scheduling round (SURVEY.md §2.7 "Micro-batching").  The loop is
+driver-side and deterministic; resume picks up after the last committed
+lineage row (north_rule: "a killed job resumes mid-crawl").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from scrapy_cluster_spark.config import DEFAULT_CONFIG, EngineConfig
+from scrapy_cluster_spark.operators.ingest import (
+    extract_crawl_jobs,
+    to_frontier_rows,
+    validate_requests,
+)
+from scrapy_cluster_spark.plans.round import (
+    STATE_TABLES,
+    _commit_lineage,
+    last_lineage,
+    run_round,
+)
+from scrapy_cluster_spark.schemas import REQUEST_SCHEMA
+from scrapy_cluster_spark.store import SnapshotStore
+
+
+def feed_requests(
+    store: SnapshotStore,
+    requests: list[dict] | DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    round_id: int = 0,
+) -> dict:
+    """API feed → frontier (the kafka-monitor ingest path, §2.1).
+
+    Returns counts {valid, invalid}.  Feed rows bypass the dupefilter
+    and page-limit filters (they are pushed by kafka-monitor directly,
+    scraper_handler.py:35-64)."""
+    spark = store.spark
+    if not isinstance(requests, DataFrame):
+        rows = [{**{f.name: None for f in REQUEST_SCHEMA.fields}, **r} for r in requests]
+        requests = spark.createDataFrame(rows, REQUEST_SCHEMA)
+    valid, invalid = validate_requests(requests, cfg)
+    frontier_rows = to_frontier_rows(valid, round_id, cfg, source="feed")
+    store.append("frontier", frontier_rows, partition_by=["bucket"], meta={"feed": True})
+    jobs = extract_crawl_jobs(valid)
+    if not jobs.isEmpty():
+        store.append("crawl_jobs", jobs)
+    # feeds are lineage events too: a resumed crawl must see state fed
+    # AFTER the last scheduling round (resume reads lineage outputs)
+    prev = last_lineage(store)
+    _commit_lineage(
+        store,
+        {
+            "round": prev["round"] if prev else 0,
+            "type": "feed",
+            "inputs": (prev or {}).get("outputs", {}),
+            "outputs": {t: store.current_version(t) for t in STATE_TABLES},
+        },
+    )
+    return {"valid": valid.count(), "invalid": invalid.count()}
+
+
+def run_crawl(
+    store: SnapshotStore,
+    pages: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    max_rounds: int = 50,
+    resume: bool = True,
+) -> list[dict]:
+    """Run rounds until the frontier is exhausted or max_rounds.
+
+    With ``resume=True`` the loop continues after the last committed
+    lineage row, reading the exact output snapshot versions it
+    recorded — a killed run restarted here reproduces the uninterrupted
+    run byte-for-byte (tests/test_resume.py)."""
+    results: list[dict] = []
+    prev = last_lineage(store) if resume else None
+    start_round = (prev["round"] + 1) if prev else 1
+    versions = prev["outputs"] if prev else None
+
+    if prev:
+        # discard partially-committed output of a crashed round: roll
+        # every state table back to the last lineage-committed version
+        # (append tables would otherwise duplicate the crashed round's
+        # rows when it re-runs)
+        for t, v in prev["outputs"].items():
+            store.rollback(t, v)
+
+    for r in range(start_round, start_round + max_rounds):
+        lineage = run_round(store, pages, r, cfg, versions)
+        results.append(lineage)
+        versions = lineage["outputs"]
+        if lineage["scheduled"] == 0 and lineage["frontier_depth"] == 0:
+            break
+    return results

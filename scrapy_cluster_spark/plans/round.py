@@ -1,0 +1,233 @@
+"""One scheduling round — the engine's flagship job (SURVEY.md §3.1).
+
+Each round is a pure function of pinned table snapshots, mirroring the
+reference property that every scheduler poll is a pure function of
+(frontier, seen, throttle-log, config) Redis state (SURVEY.md §1.3):
+
+  frontier snapshot
+    → politeness quotas (throttle.py)            [broadcast domain_config]
+    → per-domain priority top-k (ranking.py)     [window rank, salted]
+    → simulated fetch = join pages (fetch.py)    [broadcast batch side]
+    → link explode + filters (parse.py)          [built-in SQL]
+    → robots / dupe / page-limit / blacklist / expiry (robots, dedupe, limits)
+    → frontier MERGE (remove scheduled, add discovered)
+    → append crawled + fetch_log + seen + page_counts + metrics
+
+Crash consistency (north_rule resume requirement): reads are pinned to
+the versions recorded in the previous round's lineage row; the lineage
+row for round k is committed LAST, so a crash mid-round leaves a
+re-runnable round (partially-written tables are untracked garbage that
+the next run simply overwrites past).  ``plans/crawl.py`` implements
+the resume loop; tests/test_resume.py proves kill-and-restart produces
+identical output.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+from scrapy_cluster_spark.config import DEFAULT_CONFIG, EngineConfig
+from scrapy_cluster_spark.operators import dedupe, fetch, limits, parse, ranking, robots, throttle
+from scrapy_cluster_spark.operators.ingest import to_frontier_rows
+from scrapy_cluster_spark.schemas import (
+    BLACKLIST_SCHEMA,
+    CRAWLED_SCHEMA,
+    DOMAIN_CONFIG_SCHEMA,
+    FETCH_LOG_SCHEMA,
+    FRONTIER_SCHEMA,
+    METRICS_SCHEMA,
+    SEEN_SCHEMA,
+)
+from scrapy_cluster_spark.store import SnapshotStore
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+PAGE_COUNTS_SCHEMA = StructType(
+    [
+        StructField("spiderid", StringType()),
+        StructField("crawlid", StringType()),
+        StructField("domain", StringType()),
+        StructField("kind", StringType()),
+        StructField("count", LongType()),
+    ]
+)
+
+STATE_TABLES = [
+    "frontier",
+    "seen",
+    "crawled",
+    "fetch_log",
+    "page_counts",
+    "blacklist",
+    "domain_config",
+    "robots_rules",
+]
+
+
+def _pin(store: SnapshotStore, versions: dict | None) -> dict:
+    return {t: (versions or {}).get(t, store.current_version(t)) for t in STATE_TABLES}
+
+
+def lineage_path(store: SnapshotStore) -> str:
+    return os.path.join(store.root, "lineage.jsonl")
+
+
+def last_lineage(store: SnapshotStore) -> dict | None:
+    path = lineage_path(store)
+    if not os.path.exists(path):
+        return None
+    last = None
+    with open(path) as f:
+        for line in f:
+            if line.strip():
+                last = json.loads(line)
+    return last
+
+
+def _commit_lineage(store: SnapshotStore, row: dict) -> None:
+    # append + fsync: the lineage row IS the round's commit point
+    with open(lineage_path(store), "a") as f:
+        f.write(json.dumps(row) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+
+
+def run_round(
+    store: SnapshotStore,
+    pages: DataFrame,
+    round_id: int,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    versions: dict | None = None,
+) -> dict:
+    """Execute round ``round_id`` against pinned snapshots.
+
+    Returns the lineage row: input/output versions + round metrics
+    (queue depth, domains active, pages/sec — north_rule)."""
+    t0 = time.time()
+    spark = store.spark
+    now = float(round_id * cfg.round_len)
+    pins = _pin(store, versions)
+
+    frontier = store.read("frontier", FRONTIER_SCHEMA, pins["frontier"])
+    seen = store.read("seen", SEEN_SCHEMA, pins["seen"])
+    blacklist = store.read("blacklist", BLACKLIST_SCHEMA, pins["blacklist"])
+    domain_config = store.read("domain_config", DOMAIN_CONFIG_SCHEMA, pins["domain_config"])
+    fetch_log = store.read("fetch_log", FETCH_LOG_SCHEMA, pins["fetch_log"])
+    page_counts = store.read("page_counts", PAGE_COUNTS_SCHEMA, pins["page_counts"])
+    robots_rules = store.read("robots_rules", robots.ROBOTS_SCHEMA, pins["robots_rules"])
+
+    # ---- pop path: blacklist is also enforced at pop time (the stop
+    # action purges the queue; until the purge lands, skip the rows)
+    schedulable = limits.apply_blacklist(frontier, blacklist)
+    schedulable = limits.apply_expiry(schedulable, now)
+
+    domains = schedulable.select("spiderid", "domain").distinct()
+    quotas = throttle.compute_quotas(domains, domain_config, fetch_log, round_id, cfg)
+    scheduled = ranking.top_k_per_domain(
+        schedulable, quotas, salted=True, salt_partitions=cfg.salt_partitions
+    )
+    scheduled = throttle.assign_slots(scheduled, round_id, cfg).persist()
+    sched_stats = scheduled.agg(
+        F.count("*").alias("n"), F.countDistinct("domain").alias("d")
+    ).collect()[0]
+    n_scheduled, n_domains_active = sched_stats["n"], sched_stats["d"]
+
+    # ---- fetch + items
+    items = fetch.assemble_items(
+        fetch.fetch_batch(scheduled, pages), round_id, cfg.round_len
+    ).persist()
+    n_ok = items.filter(F.col("success")).count()
+
+    # ---- discovered children + retries → enqueue filter chain
+    children = to_frontier_rows(parse.child_candidates(items), round_id, cfg, source="spider")
+    children = robots.apply_robots(children, robots_rules).persist()
+    passed_dupe, seen_inserts = dedupe.apply_dupefilter(children, seen)
+
+    retries = parse.retry_candidates(items, cfg).select(*[f.name for f in FRONTIER_SCHEMA.fields])
+    enqueue_in = passed_dupe.unionByName(retries).persist()
+
+    after_domain_cap, domain_deltas = limits.apply_domain_max_pages(enqueue_in, page_counts)
+    after_global_cap, global_deltas = limits.apply_global_page_limit(
+        after_domain_cap, page_counts, cfg.global_page_per_domain_limit
+    )
+    accepted = limits.apply_blacklist(after_global_cap, blacklist)
+    accepted = limits.apply_expiry(accepted, now)
+    accepted = limits.apply_zk_domain_filter(accepted, domain_config, cfg.backlog_blacklist)
+    accepted = accepted.select(*[f.name for f in FRONTIER_SCHEMA.fields])
+
+    # ---- frontier merge: old − scheduled + accepted
+    row_key = ["spiderid", "crawlid", "fingerprint", "retry_times", "inserted_round"]
+    remaining = frontier.join(scheduled.select(*row_key), row_key, "left_anti")
+    new_frontier = remaining.unionByName(accepted)
+
+    # ---- commits (lineage row last = atomic round commit)
+    out_versions = dict(pins)
+    out_versions["frontier"] = store.overwrite(
+        "frontier", new_frontier, partition_by=["bucket"], meta={"round": round_id}
+    )
+    out_versions["seen"] = store.append(
+        "seen",
+        seen_inserts.select(
+            "spiderid", "crawlid", "fingerprint",
+            F.lit(round_id).cast("long").alias("seen_round"), "bucket",
+        ),
+        meta={"round": round_id},
+        coalesce=1,
+    )
+    out_versions["crawled"] = store.append(
+        "crawled", fetch.project_crawled(items), meta={"round": round_id}, coalesce=1
+    )
+    out_versions["fetch_log"] = store.append(
+        "fetch_log",
+        scheduled.select(
+            throttle.throttle_key_expr(cfg).alias("throttle_key"),
+            "domain", "spiderid", "url",
+            F.lit(round_id).cast("long").alias("round"), "slot_ts",
+        ),
+        meta={"round": round_id},
+        coalesce=1,
+    )
+    deltas = domain_deltas
+    if global_deltas is not None:
+        deltas = deltas.unionByName(global_deltas)
+    out_versions["page_counts"] = store.append(
+        "page_counts", deltas, meta={"round": round_id}, coalesce=1
+    )
+
+    # depth from parquet footers of the just-committed snapshot (no scan)
+    frontier_depth = store.count("frontier", out_versions["frontier"])
+    elapsed = time.time() - t0
+    metric_rows = [
+        ("queue_depth", float(frontier_depth)),
+        ("domains_active", float(n_domains_active)),
+        ("pages_crawled", float(n_ok)),
+        ("urls_scheduled", float(n_scheduled)),
+        ("pages_per_sec", float(n_ok / elapsed) if elapsed > 0 else 0.0),
+        ("round_wall_sec", float(elapsed)),
+    ]
+    metrics_df = spark.createDataFrame(
+        [(round_id, "scheduler", k, None, None, v, now) for k, v in metric_rows],
+        METRICS_SCHEMA,
+    )
+    store.append("metrics", metrics_df, meta={"round": round_id}, coalesce=1)
+
+    scheduled.unpersist()
+    items.unpersist()
+    children.unpersist()
+    enqueue_in.unpersist()
+
+    lineage = {
+        "round": round_id,
+        "inputs": pins,
+        "outputs": out_versions,
+        "scheduled": n_scheduled,
+        "crawled_ok": n_ok,
+        "frontier_depth": frontier_depth,
+        "domains_active": n_domains_active,
+        "wall_sec": elapsed,
+    }
+    _commit_lineage(store, lineage)
+    return lineage

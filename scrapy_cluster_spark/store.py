@@ -83,8 +83,15 @@ class SnapshotStore:
         return self.current_version(table) > 0
 
     # -- write ---------------------------------------------------------------
-    def _stage(self, table: str, df: DataFrame, partition_by: list[str] | None) -> list[str]:
+    def _stage(self, table: str, df: DataFrame, partition_by: list[str] | None,
+               coalesce: int | None = None) -> list[str]:
         stage = os.path.join(self._tdir(table), "data", uuid.uuid4().hex[:12])
+        if partition_by:
+            # one shuffle so each task owns whole partitions → 1 file per
+            # partition dir instead of tasks × partitions tiny files
+            df = df.repartition(*partition_by)
+        elif coalesce:
+            df = df.coalesce(coalesce)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -118,17 +125,34 @@ class SnapshotStore:
         return new_v
 
     def append(self, table: str, df: DataFrame, partition_by: list[str] | None = None,
-               meta: dict | None = None) -> int:
+               meta: dict | None = None, coalesce: int | None = None) -> int:
         """O(new data): manifest = old files + staged files (Iceberg append)."""
-        new_files = self._stage(table, df, partition_by)
+        new_files = self._stage(table, df, partition_by, coalesce)
         return self._commit(table, self.files(table) + new_files, meta)
 
     def overwrite(self, table: str, df: DataFrame, partition_by: list[str] | None = None,
-                  meta: dict | None = None) -> int:
+                  meta: dict | None = None, coalesce: int | None = None) -> int:
         """Full-snapshot replace (Iceberg overwrite).  Old files remain for
         time travel until a retention job removes expired snapshots."""
-        new_files = self._stage(table, df, partition_by)
+        new_files = self._stage(table, df, partition_by, coalesce)
         return self._commit(table, new_files, meta)
+
+    def count(self, table: str, version: int | None = None) -> int:
+        """Row count from parquet footers — no data scan."""
+        files = self.files(table, version)
+        if not files:
+            return 0
+        import pyarrow.parquet as pq
+
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+    def rollback(self, table: str, version: int) -> int:
+        """Commit a new snapshot whose file set equals ``version``'s —
+        used on resume to discard partially-committed round output
+        (Iceberg's rollback_to_snapshot equivalent)."""
+        if self.current_version(table) == version:
+            return version
+        return self._commit(table, self.files(table, version), {"rollback_to": version})
 
     # -- retention ----------------------------------------------------------
     def expire_snapshots(self, table: str, keep_last: int = 3) -> None:

@@ -1,0 +1,135 @@
+"""Control-plane tests — §5 tests 4 and 5 (stop/expire purge + acks,
+info/stats rollups), mirroring redis-monitor/tests/test_plugins.py.
+"""
+
+import json
+
+from scrapy_cluster_spark.config import EngineConfig
+from scrapy_cluster_spark.operators.control import feed_action, process_actions
+from scrapy_cluster_spark.operators.stats import (
+    build_appid_info,
+    queue_stats_df,
+    spider_stats_df,
+)
+from scrapy_cluster_spark.plans.crawl import feed_requests, run_crawl
+from scrapy_cluster_spark.schemas import (
+    BLACKLIST_SCHEMA,
+    CRAWLED_SCHEMA,
+    FRONTIER_SCHEMA,
+    OUTBOUND_SCHEMA,
+)
+
+CFG = EngineConfig()
+
+
+def _seed_many(store, crawlid, n=6, domain="site0.com", **kw):
+    feed_requests(
+        store,
+        [{"appid": "testapp", "crawlid": crawlid, "url": f"http://{domain}/page/{j}",
+          "priority": 10, "maxdepth": 0, **kw} for j in range(n)],
+        CFG,
+    )
+
+
+def test_stop_action_purges_and_acks(store, pages):
+    # stop_monitor.py:16-113: blacklist row + frontier purge + ack with
+    # total_purged
+    _seed_many(store, "stopme", n=6)
+    _seed_many(store, "keepme", n=4, domain="site1.com")
+    feed_action(store, {"action": "stop", "uuid": "u-1", "spiderid": "link",
+                        "appid": "testapp", "crawlid": "stopme"})
+    n = process_actions(store, round_id=1)
+    assert n == 1
+
+    frontier = store.read("frontier", FRONTIER_SCHEMA)
+    assert frontier.filter("crawlid='stopme'").count() == 0
+    assert frontier.filter("crawlid='keepme'").count() == 4
+
+    bl = store.read("blacklist", BLACKLIST_SCHEMA).collect()
+    assert [(b.spiderid, b.appid, b.crawlid) for b in bl] == [("link", "testapp", "stopme")]
+
+    ack = store.read("outbound", OUTBOUND_SCHEMA).filter("action='stop'").collect()[0]
+    payload = json.loads(ack.payload)
+    assert payload["total_purged"] == 6
+    assert ack.uuid == "u-1"
+
+    # blacklisted crawl never schedules again even if refed
+    _seed_many(store, "stopme", n=3)
+    run_crawl(store, pages, CFG, max_rounds=3)
+    crawled = store.read("crawled", CRAWLED_SCHEMA)
+    assert crawled.filter("crawlid='stopme'").count() == 0
+    assert crawled.filter("crawlid='keepme' AND success = true").count() == 4
+
+
+def test_expire_action(store, pages):
+    # expire_monitor.py:18-72: crawl with expires in the past is purged
+    # with action:'expired' ack
+    _seed_many(store, "exp1", n=5, expires=30)  # expires at t=30 s; round 1 = t=60
+    assert store.read("frontier", FRONTIER_SCHEMA).count() == 5
+    n = process_actions(store, round_id=1)  # now = 60 > 30
+    assert n == 0 or n >= 0  # no explicit actions; expiry is implicit
+    frontier = store.read("frontier", FRONTIER_SCHEMA)
+    assert frontier.count() == 0
+    acks = store.read("outbound", OUTBOUND_SCHEMA).filter("action='expired'").collect()
+    assert len(acks) == 1
+    assert json.loads(acks[0].payload)["total_expired"] == 5
+
+
+def test_zk_update_action_changes_throttle(store, pages):
+    # zookeeper_monitor.py:26-109 → domain_config MERGE; effect on quota
+    # covered by test_crawl_e2e.test_zk_domain_config_scales_quota
+    feed_action(store, {"action": "zk-update", "uuid": "u-2", "domain": "site0.com",
+                        "hits": 3, "window": 60, "scale": 0.9})
+    process_actions(store, round_id=1)
+    from scrapy_cluster_spark.schemas import DOMAIN_CONFIG_SCHEMA
+
+    cfg_rows = store.read("domain_config", DOMAIN_CONFIG_SCHEMA).collect()
+    assert len(cfg_rows) == 1 and cfg_rows[0].hits == 3
+
+    # zk-update without hits/window is vetted away (zookeeper_handler.py:49-56)
+    feed_action(store, {"action": "zk-update", "uuid": "u-3", "domain": "site1.com",
+                        "hits": None, "window": None})
+    process_actions(store, round_id=2)
+    assert store.read("domain_config", DOMAIN_CONFIG_SCHEMA).count() == 1
+
+    # zk-remove deletes the override
+    feed_action(store, {"action": "zk-remove", "uuid": "u-4", "domain": "site0.com"})
+    process_actions(store, round_id=3)
+    assert store.read("domain_config", DOMAIN_CONFIG_SCHEMA).count() == 0
+
+
+def test_info_action_rollup(store, pages):
+    # info_monitor.py:81-150 formulas: total_pending, total_domains,
+    # per-domain high/low priority bins
+    feed_requests(
+        store,
+        [{"appid": "app-info", "crawlid": "ci1", "url": f"http://site0.com/page/{j}",
+          "priority": p, "maxdepth": 0}
+         for j, p in [(0, 90), (1, 10), (2, 50)]]
+        + [{"appid": "app-info", "crawlid": "ci1", "url": "http://site1.com/page/0",
+            "priority": 33, "maxdepth": 0}]
+        + [{"appid": "other-app", "crawlid": "cx", "url": "http://site2.com/page/0",
+            "priority": 1, "maxdepth": 0}],
+        CFG,
+    )
+    frontier = store.read("frontier", FRONTIER_SCHEMA)
+    info = build_appid_info(frontier, "link", "app-info")
+    assert info["total_pending"] == 4
+    assert info["total_domains"] == 2
+    assert info["total_crawlids"] == 1
+    d0 = info["crawlids"]["ci1"]["domains"]["site0.com"]
+    assert (d0["total"], d0["high_priority"], d0["low_priority"]) == (3, 90, 10)
+
+
+def test_queue_and_spider_stats(store, pages):
+    _seed_many(store, "qs1", n=5, domain="site0.com")
+    _seed_many(store, "qs2", n=2, domain="site1.com")
+    frontier = store.read("frontier", FRONTIER_SCHEMA)
+    qs = {r["spiderid"]: r for r in queue_stats_df(frontier).collect()}
+    assert qs["link"]["spider_backlog"] == 7
+    assert qs["link"]["num_domains"] == 2
+
+    run_crawl(store, pages, CFG, max_rounds=3)
+    crawled = store.read("crawled", CRAWLED_SCHEMA)
+    ss = spider_stats_df(crawled).collect()
+    assert any(r["status_code"] == 200 and r["total"] == 7 for r in ss)
