@@ -1,0 +1,109 @@
+"""Text-analysis expressions for large-scale training-data pipelines.
+
+All of these are built-in Spark SQL expressions (JVM-side, codegen'd) —
+no UDFs — so they run at 100 TB scan speed and have exact DuckDB-SQL
+oracles.  Operating surface: the ``documents`` table
+(doc_id, text, lang, source, n_chars).
+
+Components:
+  tokens            whitespace tokenization (regexp split, trim first)
+  token_count       #tokens
+  word_shingles     k-word shingles (the dedup unit)
+  punct_ratio       punctuation chars / total chars
+  stopword_ratio    stopword tokens / tokens
+  quality_score     length + punctuation + stopword composite in [0,1]
+  lang_scores       per-language stopword-hit counts (lang-ID heuristic)
+  doc_fingerprint   md5 of normalized text (exact-dup key)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# tiny per-language function-word lists (public common words)
+LANG_STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est", "pour", "que"],
+    "es": ["el", "la", "y", "los", "las", "un", "una", "es", "por", "que"],
+}
+
+PUNCT_CLASS = r"[.,!?;:]"
+
+
+def tokens(text: str | Column = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text: str | Column = "text") -> Column:
+    return F.size(tokens(text))
+
+
+def word_shingles(text: str | Column = "text", k: int = 3) -> Column:
+    """Distinct k-word shingles as an array<string>.
+
+    Guarded for <k tokens: Spark's sequence(1, 0) DESCENDS ([1, 0]),
+    unlike DuckDB's empty generate_series — the when() keeps parity."""
+    w = tokens(text)
+    return F.when(F.size(w) < k, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+            )
+        )
+    )
+
+
+def punct_ratio(text: str | Column = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(PUNCT_CLASS)) / F.greatest(F.length(c), F.lit(1))
+
+
+def stopword_ratio(text: str | Column = "text", lang: str = "en") -> Column:
+    words = LANG_STOPWORDS[lang]
+    t = F.transform(tokens(text), lambda w: F.lower(w))
+    hits = F.size(F.filter(t, lambda w: w.isin(words)))
+    return hits / F.greatest(F.size(t), F.lit(1))
+
+
+def lang_hit_counts(text: str | Column = "text") -> dict[str, Column]:
+    """Per-language stopword hits — the n-gram-free lang-ID heuristic."""
+    t = F.transform(tokens(text), lambda w: F.lower(w))
+    return {
+        lang: F.size(F.filter(t, lambda w: w.isin(words)))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(text: str | Column = "text") -> Column:
+    """argmax language by stopword hits; 'und' (undetermined) when all 0.
+
+    Deterministic tiebreak: language order en > de > fr > es (first max
+    wins in that order)."""
+    hits = lang_hit_counts(text)
+    best = F.greatest(*hits.values())
+    out = F.lit("und")
+    # reversed so earlier languages win ties via later when() precedence
+    for lang in reversed(list(hits)):
+        out = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_score(text: str | Column = "text") -> Column:
+    """Composite quality in [0,1]: length factor × (1 - punct excess) ×
+    stopword presence factor.  Deterministic, SQL-only."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = token_count(c)
+    length_f = F.least(n / F.lit(100.0), F.lit(1.0))
+    punct_f = F.lit(1.0) - F.least(punct_ratio(c) * F.lit(5.0), F.lit(1.0))
+    stop_f = F.least(stopword_ratio(c) * F.lit(10.0), F.lit(1.0))
+    return F.round(length_f * (F.lit(0.5) + F.lit(0.25) * punct_f + F.lit(0.25) * stop_f), 6)
+
+
+def doc_fingerprint(text: str | Column = "text") -> Column:
+    """md5 of whitespace-normalized lowercased text — the exact-dup key
+    (both Spark and DuckDB expose identical md5)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))

@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exactness baseline (built-in
+``F.zip_with``/``F.aggregate`` — JVM-side, no UDF, DuckDB-oracle-able);
+the scale path buckets vectors with a random-hyperplane LSH (signed
+projections, deterministic seed) so the candidate join is an equi-join
+on bucket signature instead of a cross join — the same candidates→
+verify shape as MinHash dedup.
+
+All arithmetic in double precision with explicit rounding so Spark and
+DuckDB value-hashes agree.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import IntegerType
+
+_DIM = 64
+_N_PLANES = 6  # 64 buckets: dense enough for recall on small corpora
+
+
+def _d(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(_d(a), _d(b), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a) -> Column:
+    return F.sqrt(F.aggregate(F.transform(_d(a), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a, b, decimals: int = 4) -> Column:
+    return F.round(dot(a, b) / (norm(a) * norm(b)), decimals)
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_q: str = "q_id",
+    id_c: str = "c_id",
+    vec_q: str = "q_vec",
+    vec_c: str = "c_vec",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    Broadcast the (small) query side — the corpus scan stays partitioned
+    and shuffle-free; ranking shuffles only |Q|×|C| scored rows reduced
+    by the per-query window."""
+    from pyspark.sql import Window
+
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col(id_q) != F.col(id_c))  # exclude self BEFORE ranking
+        .withColumn("cos", cosine(vec_q, vec_c))
+    )
+    w = Window.partitionBy(id_q).orderBy(F.desc("cos"), F.asc(id_c))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_q, id_c, "cos", "rank")
+    )
+
+
+def _planes(dim: int = _DIM, n_planes: int = _N_PLANES, seed: int = 7) -> np.ndarray:
+    return np.random.RandomState(seed).normal(size=(n_planes, dim))
+
+
+_PLANES = _planes()
+
+
+@F.pandas_udf(IntegerType())
+def hyperplane_bucket_udf(vecs: pd.Series) -> pd.Series:
+    """Sign-of-projection LSH bucket id (deterministic planes)."""
+    def bucket(v):
+        if v is None:
+            return None
+        arr = np.asarray(v, dtype=np.float64)
+        signs = (_PLANES[:, : arr.shape[0]] @ arr) > 0
+        return int(signs.astype(np.uint32) @ (1 << np.arange(signs.size, dtype=np.uint32)))
+    return vecs.map(bucket)
+
+
+def lsh_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_q: str = "q_id",
+    id_c: str = "c_id",
+    vec_q: str = "q_vec",
+    vec_c: str = "c_vec",
+) -> DataFrame:
+    """Approximate top-k: score only same-bucket candidates.
+
+    Recall < 1 by construction (single hash table); production stacks
+    multiple tables (union of B bucketings) to trade shuffle volume for
+    recall.  Rows-only correctness check (approximate by design)."""
+    from pyspark.sql import Window
+
+    qb = queries.withColumn("bucket", hyperplane_bucket_udf(F.col(vec_q)))
+    cb = corpus.withColumn("bucket", hyperplane_bucket_udf(F.col(vec_c)))
+    scored = F.broadcast(qb).join(cb, "bucket").withColumn("cos", cosine(vec_q, vec_c))
+    w = Window.partitionBy(id_q).orderBy(F.desc("cos"), F.asc(id_c))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") <= k) & (F.col(id_q) != F.col(id_c)))
+        .select(id_q, id_c, "cos", "rank")
+    )

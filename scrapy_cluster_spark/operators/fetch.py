@@ -28,14 +28,28 @@ from scrapy_cluster_spark.functions.html import extract_links_udf
 from scrapy_cluster_spark.schemas import CRAWLED_SCHEMA
 
 
+_PAGE_COLS = ["html", "text", "lang", "warc_ts"]
+
+
 def fetch_batch(scheduled: DataFrame, pages: DataFrame) -> DataFrame:
     """Scheduled rows ⨝ pages — adds html/text/lang/warc_ts, null when
-    the url does not exist (fetch failure)."""
-    return scheduled.alias("s").join(
-        F.broadcast(pages.select("url", "html", "text", "lang", "warc_ts")).alias("p"),
-        "url",
-        "left",
-    )
+    the url does not exist (fetch failure).
+
+    Plan shape for a 100 TB pages table: the batch (quota-bounded,
+    small) is the BUILD side of an inner join against the pages scan —
+    pages is never shuffled or broadcast; AQE broadcasts the batch when
+    it fits (left-outer can't broadcast its preserved side, hence
+    inner + anti instead of one left join).  Misses are recovered with
+    a small-small anti join.  With domain-partitioned pages, dynamic
+    partition pruning restricts the scan to the batch's domains."""
+    page_cols = pages.select("url", *_PAGE_COLS)
+    hits = page_cols.join(scheduled, "url", "inner")
+    missed = scheduled.join(hits.select("url"), "url", "left_anti")
+    for name in _PAGE_COLS:
+        missed = missed.withColumn(
+            name, F.lit(None).cast(pages.schema[name].dataType)
+        )
+    return hits.unionByName(missed)
 
 
 def assemble_items(fetched: DataFrame, round_id: int, cfg_round_len: int) -> DataFrame:

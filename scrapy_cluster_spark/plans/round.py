@@ -144,6 +144,7 @@ def run_round(
     # ---- discovered children + retries → enqueue filter chain
     children = to_frontier_rows(parse.child_candidates(items), round_id, cfg, source="spider")
     children = robots.apply_robots(children, robots_rules).persist()
+    n_candidates = children.count()
     passed_dupe, seen_inserts = dedupe.apply_dupefilter(children, seen)
 
     retries = parse.retry_candidates(items, cfg).select(*[f.name for f in FRONTIER_SCHEMA.fields])
@@ -225,6 +226,7 @@ def run_round(
         "outputs": out_versions,
         "scheduled": n_scheduled,
         "crawled_ok": n_ok,
+        "candidates": n_candidates,
         "frontier_depth": frontier_depth,
         "domains_active": n_domains_active,
         "wall_sec": elapsed,

@@ -1,0 +1,5 @@
+"""Structured Streaming layer."""
+
+from scrapy_cluster_spark.streaming.requests_stream import (  # noqa: F401
+    stream_requests_to_frontier,
+)

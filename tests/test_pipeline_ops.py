@@ -1,0 +1,147 @@
+"""Unit tests for the training-data pipeline layer: dedup families,
+similarity search, text analysis, multimodal plumbing.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scrapy_cluster_spark.functions import dedup as D
+from scrapy_cluster_spark.functions import multimodal as M
+from scrapy_cluster_spark.functions import text as T
+from scrapy_cluster_spark.functions import vectors as V
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base + " extra tail words here"),  # near dup of 0
+        (3, "completely different content about spark shuffle partitions"),
+        (4, "der hund und die katze und das haus und der garten ist hier"),
+        (5, "le chat et le chien est pour la maison que les arbres"),
+        (6, "el perro y la casa es por los gatos y las calles que"),
+        (7, "xy"),  # fewer than 3 tokens → empty shingles
+        (8, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestTextAnalysis:
+    def test_token_count(self, spark, docs):
+        got = {r.doc_id: r.n for r in docs.select("doc_id", T.token_count("text").alias("n")).collect()}
+        assert got[0] == 13
+        assert got[7] == 1
+
+    def test_lang_id(self, spark, docs):
+        got = {r.doc_id: r.l for r in docs.select("doc_id", T.lang_id("text").alias("l")).collect()}
+        assert got[0] == "en"
+        assert got[4] == "de"
+        assert got[5] == "fr"
+        assert got[6] == "es"
+        assert got[8] == "und"
+
+    def test_quality_monotone_in_length(self, spark, docs):
+        got = {r.doc_id: r.q for r in docs.select("doc_id", T.quality_score("text").alias("q")).collect()}
+        assert got[3] > 0
+        assert got[8] < 0.02  # empty text → near-zero quality
+        assert 0.0 <= max(got.values()) <= 1.0
+
+    def test_fingerprint_normalizes_whitespace(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a  b\tc"), (1, "A b C "), (2, "totally other")], ["doc_id", "text"]
+        )
+        fps = [r.fp for r in df.select(T.doc_fingerprint("text").alias("fp")).collect()]
+        assert fps[0] == fps[1] != fps[2]
+
+
+class TestDedup:
+    def test_exact_jaccard_finds_dups(self, spark, docs):
+        pairs = {(r.a, r.b): r.jaccard for r in D.exact_jaccard_pairs(docs, threshold=0.5).collect()}
+        assert pairs[(0, 1)] == 1.0  # exact dup
+        assert (0, 2) in pairs  # near dup
+        assert all(j >= 0.5 for j in pairs.values())
+
+    def test_minhash_matches_exact_on_dups(self, spark, docs):
+        exact = {(r.a, r.b) for r in D.exact_jaccard_pairs(docs, threshold=0.5).collect()}
+        lsh = {(r.a, r.b) for r in D.minhash_neardup_pairs(docs, threshold=0.5).collect()}
+        assert lsh <= exact  # verification guarantees no false positives
+        assert (0, 1) in lsh  # identical docs always collide in every band
+
+    def test_minhash_signature_similarity(self):
+        a = ["s%d" % i for i in range(100)]
+        b = a[:80] + ["t%d" % i for i in range(20)]  # jaccard ≈ 0.667
+        sa, sb = D.minhash_signature(a), D.minhash_signature(b)
+        est = sum(x == y for x, y in zip(sa, sb)) / len(sa)
+        assert abs(est - 80 / 120) < 0.2
+
+    def test_simhash_close_for_similar(self):
+        a = ["s%d" % i for i in range(100)]
+        b = a[:95] + ["t%d" % i for i in range(5)]
+        c = ["u%d" % i for i in range(100)]
+        ha, hb, hc = D.simhash64(a), D.simhash64(b), D.simhash64(c)
+        ham = lambda x, y: bin((x ^ y) & (2**64 - 1)).count("1")
+        assert ham(ha, hb) < ham(ha, hc)
+
+    def test_empty_and_short_docs_safe(self, spark, docs):
+        # docs 7 and 8 have <3 tokens → empty shingle arrays, no crash
+        out = docs.select("doc_id", T.word_shingles("text").alias("sh")).collect()
+        sizes = {r.doc_id: len(r.sh) for r in out}
+        assert sizes[7] == 0 and sizes[8] == 0
+
+
+class TestVectors:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rng = np.random.RandomState(0)
+        vecs = rng.normal(size=(40, 16)).astype("float32")
+        vecs[1] = vecs[0] + 0.01 * rng.normal(size=16).astype("float32")  # near-dup
+        return spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(40)], ["vec_id", "embedding"]
+        )
+
+    def test_cosine_self_is_one(self, spark, emb):
+        row = emb.select(V.cosine("embedding", "embedding").alias("c")).collect()
+        assert all(abs(r.c - 1.0) < 1e-9 for r in row)
+
+    def test_brute_force_topk(self, spark, emb):
+        q = emb.filter("vec_id = 0").select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+        top = V.brute_force_topk(q, c, k=3).collect()
+        assert top[0].c_id == 1  # the planted near-dup is rank 1
+        assert [t.rank for t in top] == [1, 2, 3]
+        assert top[0].cos > 0.99
+
+    def test_lsh_ann_subset_of_corpus(self, spark, emb):
+        q = emb.filter("vec_id < 2").select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+        got = V.lsh_ann_topk(q, c, k=3).collect()
+        assert all(r.q_id != r.c_id for r in got)
+        # near-dup vectors share every hyperplane side → LSH must find it
+        assert any(r.q_id == 0 and r.c_id == 1 for r in got)
+
+
+class TestMultimodal:
+    def test_decode_stub_plumbing(self, spark):
+        rows = [(i, bytes([i]) * (10 + i), "image" if i % 2 else "video") for i in range(20)]
+        df = spark.createDataFrame(rows, ["media_id", "payload", "media_type"])
+        meta = M.extract_media_meta(df)
+        got = {r.media_id: r for r in meta.collect()}
+        assert len(got) == 20
+        assert got[3].byte_len == 13
+        assert got[3].duration_ms == 0  # image
+        assert got[2].duration_ms >= 0  # video
+        assert len(got[5].feature) == 8
+        # deterministic: same payload → same feature
+        again = {r.media_id: r for r in M.extract_media_meta(df).collect()}
+        assert got[5].feature == again[5].feature
+
+    def test_real_decode_is_stubbed(self):
+        with pytest.raises(NotImplementedError):
+            M.decode_image(b"\x89PNG")
