@@ -74,30 +74,41 @@ def warmup(spark) -> None:
     ).filter("r <= 3").count()
 
 
-def _all_page_seeds(maxdepth: int = 1,
-                    n_domains: int | None = None,
-                    base_pages: int | None = None,
-                    zipf: float | None = None) -> list[dict]:
-    """Pre-seeded frontier: every page URL, mixed priorities — the
-    Common-Crawl-seed-list analog that saturates per-domain quotas so
-    the bench measures scheduling machinery, not BFS ramp-up."""
+def _seeds_df(spark, n_domains: int, base_pages: int, zipf: float, maxdepth: int = 1):
+    """Distributed seed generation (driver-side dict lists serialize
+    through one task — a minutes-long stall at ~1M seeds)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
     from scrapy_cluster_spark.synth import domain_page_counts, page_url
 
-    counts = domain_page_counts(
-        n_domains or CRAWL_DOMAINS, base_pages or CRAWL_BASE_PAGES, zipf or CRAWL_ZIPF
+    counts = domain_page_counts(n_domains, base_pages, zipf)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    total = int(offsets[-1])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            gid = pdf["id"].to_numpy()
+            d = np.searchsorted(offsets, gid, side="right") - 1
+            j = gid - offsets[d]
+            yield pd.DataFrame(
+                {
+                    "appid": "benchapp",
+                    "crawlid": "bench",
+                    "url": [page_url(int(dd), int(jj)) for dd, jj in zip(d, j)],
+                    "spiderid": "link",
+                    "priority": (1 + (j * 7 + d) % 100).astype("int32"),
+                    "maxdepth": np.int32(maxdepth),
+                }
+            )
+
+    schema = "appid string, crawlid string, url string, spiderid string, priority int, maxdepth int"
+    return spark.range(total, numPartitions=spark.sparkContext.defaultParallelism).mapInPandas(
+        gen, schema=schema
     )
-    return [
-        {
-            "appid": "benchapp",
-            "crawlid": "bench",
-            "url": page_url(d, j),
-            "spiderid": "link",
-            "priority": 1 + (j * 7 + d) % 100,  # exercise ranking
-            "maxdepth": maxdepth,
-        }
-        for d in range(len(counts))
-        for j in range(counts[d])
-    ]
 
 
 def crawl_throughput(spark, n_domains: int | None = None, base_pages: int | None = None,
@@ -117,10 +128,13 @@ def crawl_throughput(spark, n_domains: int | None = None, base_pages: int | None
     cfg = EngineConfig(queue_hits=hits or CRAWL_HITS, frontier_buckets=32)
     pages = generate_pages(spark, n_domains, base_pages, zipf).cache()
     n_pages = pages.count()
-    tmp = tempfile.mkdtemp(prefix="scs-bench-")
+    # tmpfs scratch: the snapshot store fsyncs commits; on the VM's
+    # ext4 disk writeback interference swings wall time 2-3x run-to-run
+    scratch_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="scs-bench-", dir=scratch_root)
     try:
         store = SnapshotStore(spark, tmp)
-        feed_requests(store, _all_page_seeds(1, n_domains, base_pages, zipf), cfg)
+        feed_requests(store, _seeds_df(spark, n_domains, base_pages, zipf), cfg)
         t0 = time.time()
         lineage = run_crawl(store, pages, cfg, max_rounds=rounds or CRAWL_ROUNDS)
         wall = time.time() - t0
@@ -152,28 +166,54 @@ def run_queries(spark, sf_dir: str) -> dict:
     return out
 
 
+def _probe_leg(cores: int, pin_cpus: str | None, n_domains: int, base_pages: int,
+               hits: int, rounds: int) -> dict:
+    """One scaling leg in its own process (sessions sharing a JVM
+    contaminate each other), optionally pinned to N physical cpus so
+    local[N]'s python workers can't borrow idle cores — without the
+    pin, local[8] on a 32-core box uses ~16 cores and the comparison
+    is meaningless."""
+    import subprocess
+
+    code = (
+        "import bench, json\n"
+        "from scrapy_cluster_spark.session import get_spark\n"
+        f"spark = get_spark(app_name='scale{cores}', cores={cores})\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        "bench.warmup(spark)\n"
+        f"r = bench.crawl_throughput(spark, {n_domains}, {base_pages}, 0.3, {hits}, {rounds})\n"
+        "print('RESULT', json.dumps(r))\n"
+        "spark.stop()\n"
+    )
+    cmd = [sys.executable, "-c", code]
+    if pin_cpus:
+        cmd = ["taskset", "-c", pin_cpus] + cmd
+    env = dict(os.environ, SPARK_DRIVER_MEMORY="16g")
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         cwd=os.path.dirname(os.path.abspath(__file__)))
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[7:])
+    raise RuntimeError(f"scaling leg failed: {out.stderr[-2000:]}")
+
+
 def scaling_probe(n_domains: int = 1000, base_pages: int = 3000,
                   hits: int = 500, rounds: int = 2) -> dict:
-    """north_rule two-cluster-size evidence: the same (larger) crawl at
-    local[8] and local[32] on identical input; efficiency =
+    """north_rule two-cluster-size evidence: the same (larger) crawl on
+    identical input at N=8 pinned cpus vs 4N=32 cpus; efficiency =
     (T8 / T32) / (32 / 8).
 
     The per-round driver bench is latency-bound at its small scale; the
-    probe uses a ~500k-page corpus with ~400k scheduled per round so
+    probe uses a ~500k-page corpus with ~480k scheduled per round so
     per-task compute dominates fixed job overhead — the regime a real
     cluster runs in."""
-    results = {}
-    for cores in (8, 32):
-        spark = get_spark(app_name=f"bench-scale-{cores}", cores=cores)
-        spark.sparkContext.setLogLevel("ERROR")
-        warmup(spark)
-        results[cores] = crawl_throughput(spark, n_domains, base_pages, 0.3, hits, rounds)
-        spark.stop()
-    t8, t32 = results[8]["wall_sec"], results[32]["wall_sec"]
+    r8 = _probe_leg(8, "0-7", n_domains, base_pages, hits, rounds)
+    r32 = _probe_leg(32, None, n_domains, base_pages, hits, rounds)
+    t8, t32 = r8["wall_sec"], r32["wall_sec"]
     eff = (t8 / t32) / (32 / 8) if t32 > 0 else 0.0
     return {
-        "local8": results[8],
-        "local32": results[32],
+        "local8_pinned": r8,
+        "local32": r32,
         "speedup": round(t8 / t32, 3) if t32 else None,
         "efficiency": round(eff, 3),
     }

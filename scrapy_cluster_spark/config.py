@@ -41,6 +41,12 @@ class EngineConfig:
     frontier_buckets: int = 32
     # Hot-domain salting: two-phase top-k kicks in above this backlog
     salt_partitions: int = 8
+    # Bloom sidecar pre-filter for the seen-probe (operators/bloom.py);
+    # identical semantics either way (A/B-tested), bloom cuts the
+    # anti-join's shuffle volume at frontier scale
+    use_bloom: bool = False
+    bloom_m_bits: int = 1 << 23
+    bloom_k: int = 7
     # Request-schema defaults — kafka-monitor/plugins/scraper_schema.json
     default_spiderid: str = "link"
     default_priority: int = 1

@@ -46,7 +46,7 @@ def split_new_vs_seen(
 
 
 def apply_dupefilter(
-    candidates: DataFrame, seen: DataFrame
+    candidates: DataFrame, seen: DataFrame, blooms: DataFrame | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Full dupefilter pass.
 
@@ -55,8 +55,18 @@ def apply_dupefilter(
       seen_inserts = the unseen fps (to append to ``seen``) — inserted
                      regardless of later page-limit/blacklist drops,
                      matching request_seen's SADD-on-probe.
+
+    With ``blooms`` (per-bucket sidecars, operators/bloom.py) the probe
+    pre-filters via the bloom pass and only bloom hits reach the exact
+    anti-join — identical output, a fraction of the shuffle.
     """
     probed = candidates.filter(~F.col("dont_filter"))
     bypass = candidates.filter(F.col("dont_filter"))
-    new, _dupes = split_new_vs_seen(probed, seen)
+    if blooms is not None:
+        from scrapy_cluster_spark.operators.bloom import bloom_filtered_anti_join
+
+        new = bloom_filtered_anti_join(probed, seen, blooms, SEEN_KEY + ["bucket"])
+        new = new.select(*probed.columns)
+    else:
+        new, _dupes = split_new_vs_seen(probed, seen)
     return bypass.unionByName(new), new

@@ -31,7 +31,16 @@ import time
 from pyspark.sql import DataFrame, functions as F
 
 from scrapy_cluster_spark.config import DEFAULT_CONFIG, EngineConfig
-from scrapy_cluster_spark.operators import dedupe, fetch, limits, parse, ranking, robots, throttle
+from scrapy_cluster_spark.operators import (
+    bloom,
+    dedupe,
+    fetch,
+    limits,
+    parse,
+    ranking,
+    robots,
+    throttle,
+)
 from scrapy_cluster_spark.operators.ingest import to_frontier_rows
 from scrapy_cluster_spark.schemas import (
     BLACKLIST_SCHEMA,
@@ -64,6 +73,7 @@ STATE_TABLES = [
     "blacklist",
     "domain_config",
     "robots_rules",
+    "blooms",
 ]
 
 
@@ -107,7 +117,6 @@ def run_round(
     Returns the lineage row: input/output versions + round metrics
     (queue depth, domains active, pages/sec — north_rule)."""
     t0 = time.time()
-    spark = store.spark
     now = float(round_id * cfg.round_len)
     pins = _pin(store, versions)
 
@@ -145,7 +154,10 @@ def run_round(
     children = to_frontier_rows(parse.child_candidates(items), round_id, cfg, source="spider")
     children = robots.apply_robots(children, robots_rules).persist()
     n_candidates = children.count()
-    passed_dupe, seen_inserts = dedupe.apply_dupefilter(children, seen)
+    blooms_df = (
+        store.read("blooms", bloom.BLOOM_SCHEMA, pins["blooms"]) if cfg.use_bloom else None
+    )
+    passed_dupe, seen_inserts = dedupe.apply_dupefilter(children, seen, blooms_df)
 
     retries = parse.retry_candidates(items, cfg).select(*[f.name for f in FRONTIER_SCHEMA.fields])
     enqueue_in = passed_dupe.unionByName(retries).persist()
@@ -176,10 +188,19 @@ def run_round(
             F.lit(round_id).cast("long").alias("seen_round"), "bucket",
         ),
         meta={"round": round_id},
-        coalesce=1,
+        coalesce=4,
     )
+    if cfg.use_bloom:
+        # delta bloom over this round's new fps; OR-merged at probe time
+        out_versions["blooms"] = store.append(
+            "blooms",
+            bloom.build_delta_blooms(seen_inserts, cfg.bloom_m_bits, cfg.bloom_k),
+            meta={"round": round_id},
+            coalesce=1,
+        )
+    # crawled rows carry full html bodies — parallel write, never 1 task
     out_versions["crawled"] = store.append(
-        "crawled", fetch.project_crawled(items), meta={"round": round_id}, coalesce=1
+        "crawled", fetch.project_crawled(items), meta={"round": round_id}, coalesce=8
     )
     out_versions["fetch_log"] = store.append(
         "fetch_log",
@@ -209,11 +230,16 @@ def run_round(
         ("pages_per_sec", float(n_ok / elapsed) if elapsed > 0 else 0.0),
         ("round_wall_sec", float(elapsed)),
     ]
-    metrics_df = spark.createDataFrame(
-        [(round_id, "scheduler", k, None, None, v, now) for k, v in metric_rows],
+    store.append_rows(
+        "metrics",
+        [
+            {"round": round_id, "component": "scheduler", "kind": k,
+             "spiderid": None, "status_code": None, "value": v, "ts": now}
+            for k, v in metric_rows
+        ],
         METRICS_SCHEMA,
+        meta={"round": round_id},
     )
-    store.append("metrics", metrics_df, meta={"round": round_id}, coalesce=1)
 
     scheduled.unpersist()
     items.unpersist()

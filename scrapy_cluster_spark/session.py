@@ -52,6 +52,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # keep the pandas-UDF worker pool warm: idle reaping respawns
+        # workers every stage at high thread counts (measured 1.6x
+        # slowdown at local[32] on UDF-heavy rounds)
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.python.worker.idleTimeoutSeconds", "0")
+        .config("spark.python.factory.idleWorkerMaxPoolSize", str(2 * n_cores))
     )
     if extra_conf:
         for k, v in extra_conf.items():

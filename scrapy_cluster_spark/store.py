@@ -146,6 +146,36 @@ class SnapshotStore:
 
         return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
+    _PA_TYPES = None
+
+    def append_rows(self, table: str, rows: list[dict], schema: StructType,
+                    meta: dict | None = None) -> int:
+        """Driver-side append for tiny control/metrics tables: a Spark
+        write job costs ~5 s of scheduling for 6 rows; pyarrow writes
+        the file directly in milliseconds.  Read-compatible with the
+        Spark path (types mapped 1:1)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.types import (
+            BooleanType, DoubleType, FloatType, IntegerType, LongType,
+            StringType, TimestampType,
+        )
+
+        type_map = {
+            LongType: pa.int64(), IntegerType: pa.int32(),
+            DoubleType: pa.float64(), FloatType: pa.float32(),
+            StringType: pa.string(), BooleanType: pa.bool_(),
+            TimestampType: pa.timestamp("us", tz="UTC"),
+        }
+        pa_schema = pa.schema(
+            [(f.name, type_map[type(f.dataType)]) for f in schema.fields]
+        )
+        ddir = os.path.join(self._tdir(table), "data")
+        os.makedirs(ddir, exist_ok=True)
+        path = os.path.join(ddir, f"{uuid.uuid4().hex[:12]}.parquet")
+        pq.write_table(pa.Table.from_pylist(rows, schema=pa_schema), path)
+        return self._commit(table, self.files(table) + [path], meta)
+
     def rollback(self, table: str, version: int) -> int:
         """Commit a new snapshot whose file set equals ``version``'s —
         used on resume to discard partially-committed round output
