@@ -47,6 +47,10 @@ class EngineConfig:
     use_bloom: bool = False
     bloom_m_bits: int = 1 << 23
     bloom_k: int = 7
+    # files per append for small state tables: None = let AQE decide
+    # (parallel write); small ints keep file counts tiny for long test
+    # crawls at the cost of a single-task serial write per append
+    append_coalesce: int | None = None
     # Request-schema defaults — kafka-monitor/plugins/scraper_schema.json
     default_spiderid: str = "link"
     default_priority: int = 1

@@ -182,3 +182,18 @@ def feed_action(store: SnapshotStore, action: dict) -> None:
     """API-side action feed (kafka-monitor action/stats/zk plugins)."""
     row = {f.name: action.get(f.name) for f in ACTIONS_SCHEMA.fields}
     store.append("actions", store.spark.createDataFrame([row], ACTIONS_SCHEMA))
+
+
+def poll_outbound(store: SnapshotStore, uuid: str) -> dict | None:
+    """REST /poll analog (rest/rest_service.py:660-694): fetch the
+    buffered result for a request uuid from the outbound table."""
+    rows = (
+        store.read("outbound", OUTBOUND_SCHEMA)
+        .filter(F.col("uuid") == uuid)
+        .collect()
+    )
+    if not rows:
+        return None
+    r = rows[-1].asDict()
+    r["payload"] = json.loads(r["payload"]) if r["payload"] else None
+    return r

@@ -90,9 +90,22 @@ def assemble_items(fetched: DataFrame, round_id: int, cfg_round_len: int) -> Dat
         )
         .withColumn(
             "request_headers",
+            # UA + Cookie passthrough (reference sets both on the request:
+            # distributed_scheduler.py:571-578, cookie parse :581-592)
             F.when(
+                F.col("useragent").isNotNull() & F.col("cookie").isNotNull(),
+                F.create_map(
+                    F.lit("User-Agent"), F.array(F.col("useragent")),
+                    F.lit("Cookie"), F.array(F.col("cookie")),
+                ),
+            )
+            .when(
                 F.col("useragent").isNotNull(),
                 F.create_map(F.lit("User-Agent"), F.array(F.col("useragent"))),
+            )
+            .when(
+                F.col("cookie").isNotNull(),
+                F.create_map(F.lit("Cookie"), F.array(F.col("cookie"))),
             ),
         )
         .withColumn("encoding", F.when(ok, F.lit("utf-8")))

@@ -112,6 +112,34 @@ def to_frontier_rows(
     return out.select(*[f.name for f in FRONTIER_SCHEMA.fields])
 
 
+def route_feed(df: DataFrame) -> dict[str, DataFrame]:
+    """Plugin routing for a mixed inbound feed.
+
+    The kafka-monitor routes each message to the first plugin whose
+    schema validates, with plugins ordered by priority: scraper (has
+    ``url``), action (has ``action`` + ``crawlid``), stats (has
+    ``stats``), zookeeper (has ``domain`` + ``action``)
+    (kafka_monitor.py:270-314, plugin ordering :62-91; discriminators
+    per kafka-monitor/plugins/*_schema.json).  DataFrame split on the
+    same discriminating fields, in the same precedence order."""
+    cols = set(df.columns)
+
+    def has(c):
+        return F.col(c).isNotNull() if c in cols else F.lit(False)
+
+    is_crawl = has("url")
+    is_zk = ~is_crawl & has("action") & has("domain")
+    is_action = ~is_crawl & ~is_zk & has("action")
+    is_stats = ~is_crawl & ~is_zk & ~is_action & has("stats")
+    return {
+        "crawl": df.filter(is_crawl),
+        "zk": df.filter(is_zk),
+        "action": df.filter(is_action),
+        "stats": df.filter(is_stats),
+        "invalid": df.filter(~is_crawl & ~is_zk & ~is_action & ~is_stats),
+    }
+
+
 def extract_crawl_jobs(valid: DataFrame) -> DataFrame:
     """Requests with expires≠0 → crawl_jobs rows (the ``timeout:`` key
     analog, scraper_handler.py:54-59)."""

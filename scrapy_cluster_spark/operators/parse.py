@@ -92,6 +92,58 @@ def child_candidates(items: DataFrame) -> DataFrame:
     return kids.withColumnRenamed("link_domain", "domain")
 
 
+def wander_candidates(items: DataFrame, seed: int = 42) -> DataFrame:
+    """WanderingSpider parse mode (crawler/crawling/spiders/
+    wandering_spider.py:25-91): each fetched page yields exactly ONE
+    followed link (reference: ``random.choice(links)``) and a ``step``
+    counter carried in attrs (:52-55, :74).  No depth gate, no priority
+    decay — the request keeps its priority.
+
+    The reference's choice is nondeterministic by design; here the
+    choice is a seeded hash-rank (deterministic given the seed) so two
+    cluster sizes produce identical walks."""
+    parents = items.filter(F.col("success"))
+    kids = parents.select(
+        *_INHERITED,
+        F.col("priority"),
+        F.col("curdepth"),
+        F.explode("links_full").alias("link"),
+    )
+    kids = kids.withColumn("link_domain", extract_domain_udf(F.col("link.url")))
+    kids = kids.filter(
+        F.col("allowed_domains").isNull()
+        | F.array_contains(F.col("allowed_domains"), F.col("link_domain"))
+    )
+    # one link per parent page: lowest seeded hash wins (a wandering
+    # crawl fetches one page per step, so (crawl, depth) ≡ the page)
+    from pyspark.sql import Window
+
+    pick_w = Window.partitionBy(*_INHERITED[:3], "curdepth").orderBy(
+        F.xxhash64(F.col("link.url"), F.lit(seed))
+    )
+    kids = (
+        kids.withColumn("pick", F.row_number().over(pick_w))
+        .filter(F.col("pick") == 1)
+        .drop("pick")
+        .select(
+            *_INHERITED,
+            F.col("priority"),
+            (F.col("curdepth") + 1).alias("curdepth"),
+            F.col("link.url").alias("url"),
+            F.col("link_domain").alias("domain"),
+        )
+        # step counter in attrs (wandering_spider.py:55,74)
+        .withColumn(
+            "attrs",
+            F.map_concat(
+                F.coalesce("attrs", F.create_map().cast("map<string,string>")),
+                F.create_map(F.lit("step"), (F.col("curdepth")).cast("string")),
+            ),
+        )
+    )
+    return kids
+
+
 def retry_candidates(items: DataFrame, cfg: EngineConfig) -> DataFrame:
     """Failed fetches → retry rows (dont_filter=True skips the dupe
     probe, distributed_scheduler.py:420)."""

@@ -81,6 +81,21 @@ def _pin(store: SnapshotStore, versions: dict | None) -> dict:
     return {t: (versions or {}).get(t, store.current_version(t)) for t in STATE_TABLES}
 
 
+def _footer_rows(files: list[str]) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+def _distinct_in_files(files: list[str], column: str) -> int:
+    import pyarrow.parquet as pq
+
+    vals: set = set()
+    for f in files:
+        vals.update(pq.read_table(f, columns=[column])[column].to_pylist())
+    return len(vals)
+
+
 def lineage_path(store: SnapshotStore) -> str:
     return os.path.join(store.root, "lineage.jsonl")
 
@@ -139,21 +154,19 @@ def run_round(
         schedulable, quotas, salted=True, salt_partitions=cfg.salt_partitions
     )
     scheduled = throttle.assign_slots(scheduled, round_id, cfg).persist()
-    sched_stats = scheduled.agg(
-        F.count("*").alias("n"), F.countDistinct("domain").alias("d")
-    ).collect()[0]
-    n_scheduled, n_domains_active = sched_stats["n"], sched_stats["d"]
 
     # ---- fetch + items
+    # (no count() actions here: every round stat is derived afterwards
+    # from the parquet footers of the committed deltas — each count()
+    # is a full Spark job whose driver-side planning is the dominant
+    # serial cost per round at high core counts)
     items = fetch.assemble_items(
         fetch.fetch_batch(scheduled, pages), round_id, cfg.round_len
     ).persist()
-    n_ok = items.filter(F.col("success")).count()
 
     # ---- discovered children + retries → enqueue filter chain
     children = to_frontier_rows(parse.child_candidates(items), round_id, cfg, source="spider")
     children = robots.apply_robots(children, robots_rules).persist()
-    n_candidates = children.count()
     blooms_df = (
         store.read("blooms", bloom.BLOOM_SCHEMA, pins["blooms"]) if cfg.use_bloom else None
     )
@@ -188,7 +201,7 @@ def run_round(
             F.lit(round_id).cast("long").alias("seen_round"), "bucket",
         ),
         meta={"round": round_id},
-        coalesce=4,
+        coalesce=cfg.append_coalesce,
     )
     if cfg.use_bloom:
         # delta bloom over this round's new fps; OR-merged at probe time
@@ -198,9 +211,16 @@ def run_round(
             meta={"round": round_id},
             coalesce=1,
         )
-    # crawled rows carry full html bodies — parallel write, never 1 task
+    # crawled rows carry full html bodies — parallel write, never 1 task.
+    # 'ok' duplicates 'success' as the partition dir (partition columns
+    # are stripped from data files; schema-pinned file reads would see
+    # null success otherwise) so pages_crawled comes free from footers
     out_versions["crawled"] = store.append(
-        "crawled", fetch.project_crawled(items), meta={"round": round_id}, coalesce=8
+        "crawled",
+        fetch.project_crawled(items).withColumn("ok", F.col("success")),
+        partition_by=["ok"],
+        repartition=False,
+        meta={"round": round_id},
     )
     out_versions["fetch_log"] = store.append(
         "fetch_log",
@@ -210,17 +230,26 @@ def run_round(
             F.lit(round_id).cast("long").alias("round"), "slot_ts",
         ),
         meta={"round": round_id},
-        coalesce=1,
+        coalesce=cfg.append_coalesce,
     )
     deltas = domain_deltas
     if global_deltas is not None:
         deltas = deltas.unionByName(global_deltas)
     out_versions["page_counts"] = store.append(
-        "page_counts", deltas, meta={"round": round_id}, coalesce=1
+        "page_counts", deltas, meta={"round": round_id}, coalesce=cfg.append_coalesce
     )
 
-    # depth from parquet footers of the just-committed snapshot (no scan)
+    # ---- round stats from committed parquet footers (no Spark jobs)
+    def _delta(table: str) -> list[str]:
+        old = set(store.files(table, pins[table]))
+        return [f for f in store.files(table, out_versions[table]) if f not in old]
+
     frontier_depth = store.count("frontier", out_versions["frontier"])
+    fetch_delta = _delta("fetch_log")
+    n_scheduled = _footer_rows(fetch_delta)
+    n_ok = _footer_rows([f for f in _delta("crawled") if "ok=true" in f])
+    n_candidates = _footer_rows(_delta("seen"))  # new fps after robots+dupe
+    n_domains_active = _distinct_in_files(fetch_delta, "domain")
     elapsed = time.time() - t0
     metric_rows = [
         ("queue_depth", float(frontier_depth)),

@@ -84,11 +84,13 @@ class SnapshotStore:
 
     # -- write ---------------------------------------------------------------
     def _stage(self, table: str, df: DataFrame, partition_by: list[str] | None,
-               coalesce: int | None = None) -> list[str]:
+               coalesce: int | None = None, repartition: bool = True) -> list[str]:
         stage = os.path.join(self._tdir(table), "data", uuid.uuid4().hex[:12])
-        if partition_by:
+        if partition_by and repartition:
             # one shuffle so each task owns whole partitions → 1 file per
-            # partition dir instead of tasks × partitions tiny files
+            # partition dir instead of tasks × partitions tiny files.
+            # repartition=False keeps the upstream partitioning (right
+            # choice for low-cardinality partition cols like 'success')
             df = df.repartition(*partition_by)
         elif coalesce:
             df = df.coalesce(coalesce)
@@ -125,9 +127,10 @@ class SnapshotStore:
         return new_v
 
     def append(self, table: str, df: DataFrame, partition_by: list[str] | None = None,
-               meta: dict | None = None, coalesce: int | None = None) -> int:
+               meta: dict | None = None, coalesce: int | None = None,
+               repartition: bool = True) -> int:
         """O(new data): manifest = old files + staged files (Iceberg append)."""
-        new_files = self._stage(table, df, partition_by, coalesce)
+        new_files = self._stage(table, df, partition_by, coalesce, repartition)
         return self._commit(table, self.files(table) + new_files, meta)
 
     def overwrite(self, table: str, df: DataFrame, partition_by: list[str] | None = None,
