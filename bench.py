@@ -142,6 +142,8 @@ def crawl_throughput(spark, n_domains: int | None = None, base_pages: int | None
         candidates = sum(l.get("candidates", 0) for l in lineage)
         crawled = sum(l["crawled_ok"] for l in lineage)
         urls_per_sec = (scheduled + candidates) / wall if wall > 0 else 0.0
+        from scrapy_cluster_spark.plans.balance import bucket_balance
+
         return {
             "pages_table": n_pages,
             "rounds": len(lineage),
@@ -150,6 +152,8 @@ def crawl_throughput(spark, n_domains: int | None = None, base_pages: int | None
             "crawled_ok": crawled,
             "wall_sec": round(wall, 2),
             "urls_per_sec": round(urls_per_sec, 1),
+            # scale-readiness: straggler factor of the domain-hash layout
+            "frontier_bucket_balance": bucket_balance(store, "frontier"),
         }
     finally:
         pages.unpersist()

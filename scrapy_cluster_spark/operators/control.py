@@ -127,8 +127,16 @@ def process_actions(store: SnapshotStore, round_id: int, now: float | None = Non
                 payload = build_appid_info(frontier, r["spiderid"], r["appid"])
             acks.append(_ack(r, "info", payload, now))
         elif a == "stats":
-            # assembled by the caller via stats.py rollups; ack the request
-            acks.append(_ack(r, "stats", {"stats": r["stats"] or "all"}, now))
+            from scrapy_cluster_spark.operators.stats import build_stats_payload
+            from scrapy_cluster_spark.schemas import CRAWLED_SCHEMA, METRICS_SCHEMA
+
+            payload = build_stats_payload(
+                frontier,
+                store.read("crawled", CRAWLED_SCHEMA),
+                store.read("metrics", METRICS_SCHEMA),
+                r["stats"] or "all",
+            )
+            acks.append(_ack(r, "stats", payload, now))
         elif a == "zk-update":
             # domain update requires hits & window ≠ 0 (zookeeper_handler.py:49-56)
             if r["hits"] and r["window"]:

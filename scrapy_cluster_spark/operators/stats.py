@@ -142,6 +142,74 @@ def build_crawlid_info(frontier: DataFrame, crawl_jobs: DataFrame,
     }
 
 
+def build_stats_payload(frontier: DataFrame, crawled: DataFrame, metrics: DataFrame,
+                        which: str = "all") -> dict:
+    """StatsMonitor.handle dispatch (stats_monitor.py:15-67): assemble
+    the stats-API response for ``stats`` ∈ {queue, spider, machine,
+    crawler, kafka-monitor, redis-monitor, all}.  Response shape per
+    docs/topics/kafka-monitor/api.rst: nested dicts; window-keyed
+    totals collapse to per-round totals here (the engine's windows are
+    rounds)."""
+    out: dict = {"stats": which}
+
+    def queue_part():
+        per_spider = queue_stats_df(frontier).collect()
+        per_domain = (
+            frontier.groupBy("spiderid", "domain").agg(F.count("*").alias("backlog")).collect()
+        )
+        queues = {}
+        for r in per_spider:
+            queues[f"queue_{r['spiderid']}"] = {
+                "spider_backlog": r["spider_backlog"],
+                "num_domains": r["num_domains"],
+                "domains": [
+                    {"domain": d["domain"], "backlog": d["backlog"]}
+                    for d in per_domain
+                    if d["spiderid"] == r["spiderid"]
+                ],
+            }
+        queues["total_backlog"] = sum(r["spider_backlog"] for r in per_spider)
+        return queues
+
+    def spider_part():
+        rows = spider_stats_df(crawled).collect()
+        spiders: dict = {"unique_spider_count": len({r["spiderid"] for r in rows}),
+                         "total_spider_count": len({r["spiderid"] for r in rows})}
+        for r in rows:
+            spiders.setdefault(r["spiderid"], {})[str(r["status_code"])] = {
+                "lifetime": r["total"]
+            }
+        return spiders
+
+    def machine_part():
+        rows = machine_stats_df(crawled).collect()
+        return {
+            "count": 1,  # one logical machine in-sandbox
+            "localhost": {str(r["status_code"]): {"lifetime": r["total"]} for r in rows},
+        }
+
+    def monitor_part(component: str):
+        rows = (
+            metrics.filter(F.col("component") == component)
+            .groupBy("kind")
+            .agg(F.sum("value").alias("total"))
+            .collect()
+        )
+        return {r["kind"]: {"lifetime": r["total"]} for r in rows}
+
+    if which in ("queue", "all"):
+        out["queue"] = queue_part()
+    if which in ("spider", "crawler", "all"):
+        out["spider"] = spider_part()
+    if which in ("machine", "crawler", "all"):
+        out["machine"] = machine_part()
+    if which in ("kafka-monitor", "all"):
+        out["kafka-monitor"] = monitor_part("kafka-monitor") or monitor_part("scheduler")
+    if which in ("redis-monitor", "all"):
+        out["redis-monitor"] = monitor_part("redis-monitor") or monitor_part("scheduler")
+    return out
+
+
 def queue_stats_df(frontier: DataFrame) -> DataFrame:
     """StatsMonitor.get_queue_stats (:261-297): per spider backlog +
     domain count; total backlog = frontier.count()."""

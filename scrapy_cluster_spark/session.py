@@ -37,6 +37,12 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * n_cores, 8)
 
+    local_dir = None
+    if os.path.isdir("/dev/shm") and not (extra_conf or {}).get("spark.local.dir"):
+        # shuffle/spill on tmpfs: the sandbox VM's ext4 disk is slow and
+        # noisy; a real cluster configures fast local SSDs here
+        local_dir = f"/dev/shm/spark-local-{os.getpid()}"
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -59,6 +65,8 @@ def get_spark(
         .config("spark.python.worker.idleTimeoutSeconds", "0")
         .config("spark.python.factory.idleWorkerMaxPoolSize", str(2 * n_cores))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, str(v))
