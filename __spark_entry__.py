@@ -249,16 +249,16 @@ def q_cosine_topk(spark, sf):
 
 def q_embedding_neardup(spark, sf):
     """Embedding-cosine near-dup pairs (threshold 0.45 — the synthetic
-    embeddings top out at cos≈0.51, so this captures the near-dup tail)."""
+    embeddings top out at cos≈0.6, so this captures the near-dup tail).
+
+    Routed through multi-table hyperplane-LSH candidates + exact cosine
+    verify (functions/vectors.py neardup_pairs_lsh): the oracle keeps the
+    all-pairs SQL form, the Spark plan is equi-join only — no cross join
+    (the round-1 scale-killer).  Output equality with brute force is
+    deterministic (seeded planes) and asserted by
+    tests/test_pipeline_ops.py::test_neardup_lsh_equals_bruteforce."""
     emb = _t(spark, sf, "embeddings")
-    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
-    return (
-        a.join(b, a.a < b.b)
-        .withColumn("cos", V.cosine("va", "vb", 4))
-        .filter(F.col("cos") >= 0.45)
-        .select("a", "b", "cos")
-    )
+    return V.neardup_pairs_lsh(emb, threshold=0.45)
 
 
 def q_lsh_ann_topk(spark, sf):

@@ -18,10 +18,98 @@ extraction itself, already done at fetch time.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from scrapy_cluster_spark.config import EngineConfig
 from scrapy_cluster_spark.functions.domains import extract_domain_udf
+
+# scrapy.linkextractors.IGNORED_EXTENSIONS (public constant, scrapy 1.x):
+# when a crawl request leaves deny_extensions at its schema default null
+# (kafka-monitor/plugins/scraper_schema.json:63-70), the reference's
+# LxmlLinkExtractor falls back to this media/doc/archive list — null does
+# NOT mean "no extension filter".  Golden-pinned by
+# tests/test_golden_drudge.py (391 baseline links on the reference
+# fixture requires this default to be active).
+IGNORED_EXTENSIONS = [
+    # images
+    "mng", "pct", "bmp", "gif", "jpg", "jpeg", "png", "pst", "psp",
+    "tif", "tiff", "ai", "drw", "dxf", "eps", "ps", "svg",
+    # audio
+    "mp3", "wma", "ogg", "wav", "ra", "aac", "mid", "au", "aiff",
+    # video
+    "3gp", "asf", "asx", "avi", "mov", "mp4", "mpg", "qt", "rm",
+    "swf", "wmv", "m4a",
+    # office suites
+    "xls", "xlsx", "ppt", "pptx", "pps", "doc", "docx", "odt", "ods",
+    "odg", "odp",
+    # other
+    "css", "pdf", "exe", "bin", "rss", "zip", "rar",
+]
+
+
+# Regex equivalents of urllib.parse.urlparse's host/path for http(s)
+# URLs.  Spark's parse_url() is RFC-strict and THROWS on real-web URLs
+# containing e.g. '|' (drudge fixture: http://news.myway.com/.../top|ap.html)
+# while Python's urlparse — what scrapy/w3lib use — tolerates them, so the
+# components are extracted with regexes that never fail.
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)"
+_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+
+
+def _url_host(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, _HOST_RE, 1))
+
+
+def _url_extension(url: Column) -> Column:
+    """``posixpath.splitext(urlparse(url).path)[1].lstrip('.')`` in SQL
+    (w3lib url_has_any_extension semantics): the token after the LAST dot
+    of the path's basename, requiring a non-dot/non-slash char before the
+    dot (``/.bashrc`` and ``/a.`` have no extension), query/fragment
+    excluded because only the PATH component is inspected."""
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    # urlparse splits ';params' off the LAST path segment before splitext
+    # (news.yahoo.com/....html;_ylt=... has extension 'html')
+    path = F.regexp_replace(path, r";[^/]*$", "")
+    return F.lower(F.regexp_extract(path, r"[^/.]\.([^./]*)$", 1))
+
+
+def _passes_link_filters(url: Column, row) -> Column:
+    """The four LinkExtractor gates, evaluated in scrapy's order on the
+    RAW absolute url (FilteringLinkExtractor._link_allowed runs before
+    canonicalization): allow regex → deny regex → allowed_domains
+    (host-suffix match via url_is_from_any_domain: host == d or host
+    endswith '.d' — NOT registered-domain equality, so
+    allowed_domains=['www.foo.com'] admits only that exact host) →
+    deny_extensions (null → IGNORED_EXTENSIONS default).  Empty arrays
+    are falsy in scrapy and pass everything, same as null here."""
+    host = _url_host(url)
+    allowed = row["allowed_domains"]
+    allow_re = row["allow_regex"]
+    deny_re = row["deny_regex"]
+    deny_ext = F.when(
+        row["deny_extensions"].isNull(),
+        F.array(*[F.lit(e) for e in IGNORED_EXTENSIONS]),
+    ).otherwise(row["deny_extensions"])
+
+    def _empty(arr: Column) -> Column:
+        return arr.isNull() | (F.size(arr) == 0)
+
+    cond = _empty(allow_re) | F.exists(
+        allow_re, lambda p: F.regexp_like(url, p)
+    )
+    cond = cond & (
+        _empty(deny_re) | ~F.exists(deny_re, lambda p: F.regexp_like(url, p))
+    )
+    cond = cond & (
+        _empty(allowed)
+        | F.exists(
+            allowed,
+            lambda d: (host == F.lower(d))
+            | host.endswith(F.concat(F.lit("."), F.lower(d))),
+        )
+    )
+    cond = cond & ~F.array_contains(deny_ext, _url_extension(url))
+    return cond
 
 # parent meta copied onto children (MetaPassthroughMiddleware analog)
 _INHERITED = [
@@ -63,33 +151,16 @@ def child_candidates(items: DataFrame) -> DataFrame:
         F.col("link.url").alias("url"),
     )
 
-    kids = kids.withColumn("link_domain", extract_domain_udf(F.col("url")))
-
-    # allowed_domains: null passes all; else link domain ∈ list
-    # (LinkExtractor allow_domains, lxmlhtml.py:49-57)
+    # LinkExtractor gates (lxmlhtml.py:49-57, golden-pinned by
+    # tests/test_golden_drudge.py) — one fused filter, no Python
     kids = kids.filter(
-        F.col("allowed_domains").isNull()
-        | F.array_contains(F.col("allowed_domains"), F.col("link_domain"))
-    )
-    # allow regex: null passes; else any pattern matches
-    kids = kids.filter(
-        F.col("allow_regex").isNull()
-        | F.exists("allow_regex", lambda p: F.regexp_like(F.col("url"), p))
-    )
-    # deny regex wins
-    kids = kids.filter(
-        F.col("deny_regex").isNull()
-        | ~F.exists("deny_regex", lambda p: F.regexp_like(F.col("url"), p))
-    )
-    # deny_extensions: scrapy semantics — the url ends ".<ext>"
-    kids = kids.filter(
-        F.col("deny_extensions").isNull()
-        | ~F.exists(
-            "deny_extensions",
-            lambda e: F.endswith(F.col("url"), F.concat(F.lit("."), e)),
+        _passes_link_filters(
+            F.col("url"),
+            {c: F.col(c) for c in
+             ("allowed_domains", "allow_regex", "deny_regex", "deny_extensions")},
         )
     )
-    return kids.withColumnRenamed("link_domain", "domain")
+    return kids.withColumn("domain", extract_domain_udf(F.col("url")))
 
 
 def wander_candidates(items: DataFrame, seed: int = 42) -> DataFrame:
@@ -109,11 +180,15 @@ def wander_candidates(items: DataFrame, seed: int = 42) -> DataFrame:
         F.col("curdepth"),
         F.explode("links_full").alias("link"),
     )
-    kids = kids.withColumn("link_domain", extract_domain_udf(F.col("link.url")))
+    # same four LinkExtractor gates as link-spider (wandering_spider.py:64)
     kids = kids.filter(
-        F.col("allowed_domains").isNull()
-        | F.array_contains(F.col("allowed_domains"), F.col("link_domain"))
+        _passes_link_filters(
+            F.col("link.url"),
+            {c: F.col(c) for c in
+             ("allowed_domains", "allow_regex", "deny_regex", "deny_extensions")},
+        )
     )
+    kids = kids.withColumn("link_domain", extract_domain_udf(F.col("link.url")))
     # one link per parent page: lowest seeded hash wins (a wandering
     # crawl fetches one page per step, so (crawl, depth) ≡ the page)
     from pyspark.sql import Window

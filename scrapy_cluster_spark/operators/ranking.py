@@ -36,17 +36,28 @@ def top_k_per_domain(
     quotas: DataFrame,
     salted: bool = True,
     salt_partitions: int = 8,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Select up to ``quota`` rows per (spiderid, domain), highest
-    priority first.  Adds ``pop_rank`` (1-based within domain) and
-    ``gap`` (moderation) columns from ``quotas``."""
+    """Select up to ``quota`` rows per throttle key (``group_cols``,
+    default (spiderid, domain)), highest priority first.  Adds
+    ``pop_rank`` (1-based within the key) and ``gap`` (moderation)
+    columns from ``quotas``.
+
+    With throttle_type_enabled=False the key is (domain) alone: all
+    spider types hitting the domain compete for ONE quota — the shared
+    budget is split across spiderids by rank order, matching the
+    reference where pops from every ``<type>:<domain>:queue`` drain the
+    same ``<domain>:throttle`` window (distributed_scheduler.py:220-258;
+    cross-type interleave there is randomized queue order, here the
+    deterministic priority tiebreak)."""
+    group_cols = group_cols or ["spiderid", "domain"]
     q = F.broadcast(quotas.filter(F.col("quota") > 0))
-    df = frontier.join(q, ["spiderid", "domain"], "inner")
+    df = frontier.join(q, group_cols, "inner")
 
     if salted:
         # phase 1: per-salt pre-rank — bounds any single task's sort input
         salt = F.pmod(F.hash("url"), F.lit(salt_partitions))
-        w1 = Window.partitionBy("spiderid", "domain", "salt").orderBy(*tiebreak_order())
+        w1 = Window.partitionBy(*group_cols, "salt").orderBy(*tiebreak_order())
         df = (
             df.withColumn("salt", salt)
             .withColumn("salt_rank", F.row_number().over(w1))
@@ -54,7 +65,7 @@ def top_k_per_domain(
             .drop("salt", "salt_rank")
         )
 
-    w2 = Window.partitionBy("spiderid", "domain").orderBy(*tiebreak_order())
+    w2 = Window.partitionBy(*group_cols).orderBy(*tiebreak_order())
     return (
         df.withColumn("pop_rank", F.row_number().over(w2))
         .filter(F.col("pop_rank") <= F.col("quota"))

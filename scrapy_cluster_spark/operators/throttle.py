@@ -36,16 +36,27 @@ from pyspark.sql import DataFrame, functions as F
 from scrapy_cluster_spark.config import EngineConfig
 
 
+def throttle_group_cols(cfg: EngineConfig, ip_col: str | None = None) -> list[str]:
+    """Column set identifying ONE politeness budget — the 4 key styles of
+    create_queues (distributed_scheduler.py:220-243): [spiderid?][ip?]domain.
+    With throttle_type_enabled=False the budget is SHARED across spider
+    types hitting the same domain (settings.py:85-88) — quotas must then
+    be computed per domain and split across spiderids at selection time.
+    One logical Spark scheduler has a single egress identity, so ip_col
+    participates only when simulating multiple egress IPs."""
+    cols = []
+    if cfg.throttle_type_enabled:
+        cols.append("spiderid")
+    if cfg.throttle_ip_enabled and ip_col:
+        cols.append(ip_col)
+    cols.append("domain")
+    return cols
+
+
 def throttle_key_expr(cfg: EngineConfig, ip_col: str | None = None):
     """concat of [spiderid?][ip?]domain — the 4 key styles of
     create_queues (distributed_scheduler.py:222-243)."""
-    parts = []
-    if cfg.throttle_type_enabled:
-        parts.append(F.col("spiderid"))
-    if cfg.throttle_ip_enabled and ip_col:
-        parts.append(F.col(ip_col))
-    parts.append(F.col("domain"))
-    return F.concat_ws(":", *parts)
+    return F.concat_ws(":", *[F.col(c) for c in throttle_group_cols(cfg, ip_col)])
 
 
 def compute_quotas(
@@ -55,16 +66,21 @@ def compute_quotas(
     round_id: int,
     cfg: EngineConfig,
 ) -> DataFrame:
-    """Per-(spiderid, domain) quota for this round.
+    """Per-throttle-key quota for this round.
 
-    ``domains``: distinct (spiderid, domain) present in the schedulable
-    frontier.  ``domain_config`` is the zk-override table (tiny →
-    broadcast).  ``fetch_log`` supplies trailing-window hits for
-    window > round_len configs.
-    Returns (spiderid, domain, quota, gap) — gap in seconds for
-    moderation slot assignment.
+    ``domains``: distinct throttle-key tuples (see throttle_group_cols —
+    (spiderid, domain) when type-scoped, (domain) when the budget is
+    shared across spider types) present in the schedulable frontier.
+    ``domain_config`` is the zk-override table (tiny → broadcast).
+    ``fetch_log`` supplies trailing-window hits for window > round_len
+    configs — aggregated over the SAME key, so with type disabled two
+    spiders' past hits drain one shared budget
+    (distributed_scheduler.py:220-258).
+    Returns (*group_cols, quota, gap) — gap in seconds for moderation
+    slot assignment.
     """
     L = cfg.round_len
+    group_cols = throttle_group_cols(cfg)
     cfgd = F.broadcast(
         domain_config.select(
             "domain",
@@ -90,12 +106,12 @@ def compute_quotas(
     # trailing hits from rounds still inside the window (window > L case)
     trailing_rounds = F.ceil(F.col("window") / F.lit(L)) - 1
     trail = (
-        fetch_log.groupBy("spiderid", "domain", "round")
+        fetch_log.groupBy(*group_cols, "round")
         .agg(F.count("*").alias("hits_in_round"))
         .filter(F.col("round") < round_id)
     )
     d = (
-        d.join(trail, ["spiderid", "domain"], "left")
+        d.join(trail, group_cols, "left")
         .withColumn(
             "trailing_hit",
             F.when(
@@ -104,7 +120,7 @@ def compute_quotas(
                 F.col("hits_in_round"),
             ).otherwise(F.lit(0)),
         )
-        .groupBy("spiderid", "domain", "window", "hits_eff", "zk_blacklisted")
+        .groupBy(*group_cols, "window", "hits_eff", "zk_blacklisted")
         .agg(F.sum("trailing_hit").alias("trailing_hits"))
     )
 
@@ -119,8 +135,7 @@ def compute_quotas(
     ).otherwise(F.lit(0.0))
 
     return d.select(
-        "spiderid",
-        "domain",
+        *group_cols,
         F.when(F.col("zk_blacklisted"), F.lit(0)).otherwise(quota).cast("int").alias("quota"),
         gap.cast("double").alias("gap"),
     )

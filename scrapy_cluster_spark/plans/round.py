@@ -148,10 +148,13 @@ def run_round(
     schedulable = limits.apply_blacklist(frontier, blacklist)
     schedulable = limits.apply_expiry(schedulable, now)
 
-    domains = schedulable.select("spiderid", "domain").distinct()
+    # throttle key scope: (spiderid, domain) or shared (domain) budget
+    tgroup = throttle.throttle_group_cols(cfg)
+    domains = schedulable.select(*tgroup).distinct()
     quotas = throttle.compute_quotas(domains, domain_config, fetch_log, round_id, cfg)
     scheduled = ranking.top_k_per_domain(
-        schedulable, quotas, salted=True, salt_partitions=cfg.salt_partitions
+        schedulable, quotas, salted=True, salt_partitions=cfg.salt_partitions,
+        group_cols=tgroup,
     )
     scheduled = throttle.assign_slots(scheduled, round_id, cfg).persist()
 

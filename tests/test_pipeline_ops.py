@@ -116,6 +116,24 @@ class TestVectors:
         assert [t.rank for t in top] == [1, 2, 3]
         assert top[0].cos > 0.99
 
+    def test_neardup_lsh_equals_bruteforce(self, spark):
+        """neardup_pairs_lsh (multi-table LSH candidates + exact verify)
+        returns EXACTLY the brute-force threshold pairs on the real test
+        corpus — the scale path may not drop a single qualifying pair."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+        b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+        brute = {
+            (r.a, r.b, r.cos)
+            for r in a.join(b, a.a < b.b)
+            .withColumn("cos", V.cosine("va", "vb", 4))
+            .filter(F.col("cos") >= 0.45)
+            .select("a", "b", "cos")
+            .collect()
+        }
+        lsh = {(r.a, r.b, r.cos) for r in V.neardup_pairs_lsh(emb).collect()}
+        assert lsh == brute and len(brute) > 0
+
     def test_lsh_ann_subset_of_corpus(self, spark, emb):
         q = emb.filter("vec_id < 2").select(
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
