@@ -132,6 +132,24 @@ def q_hll_unique(spark, sf):
     )
 
 
+def q_stats_windows(spark, sf):
+    """Window-keyed stats rollup (api.rst stats responses; scutils
+    StatsCollector rolling windows): lifetime + every STATS_TIMES
+    trailing window in ONE grouped pass (map-side combinable) —
+    operators/stats.py ``_windowed_counts``, the aggregation behind
+    build_stats_payload."""
+    from scrapy_cluster_spark.operators.stats import _windowed_counts
+
+    events = _t(spark, sf, "events")
+    # epoch seconds with fraction (double) — DuckDB epoch() equivalent.
+    # ts is TIMESTAMP_NTZ (no direct double cast); NTZ→LTZ uses the
+    # session tz, which shifts 'now' and every row identically, so the
+    # trailing-window comparisons are tz-invariant.
+    ts_sec = F.unix_micros(F.col("ts").cast("timestamp_ltz")) / F.lit(1000000.0)
+    now = events.agg(F.max(ts_sec)).collect()[0][0]
+    return _windowed_counts(events, ts_sec, now, ["event_type"])
+
+
 def q_tumbling_window(spark, sf):
     """TimeWindow (stats_collector.py:416-444): tumbling hourly counts."""
     events = _t(spark, sf, "events")
@@ -291,6 +309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_unique": q_exact_unique,
         "hll_unique": q_hll_unique,
         "tumbling_window": q_tumbling_window,
+        "stats_windows": q_stats_windows,
         "schedule_round_analog": q_schedule_round_analog,
         "doc_token_count": q_doc_token_count,
         "doc_quality": q_doc_quality,
@@ -400,6 +419,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT cast(date_trunc('hour', ts) AS varchar) AS win,
                    event_type, count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "stats_windows": """
+            WITH mx AS (SELECT epoch(max(ts)) AS m FROM events)
+            SELECT event_type,
+                   count(*) AS lifetime,
+                   CAST(sum(CASE WHEN epoch(ts) > m - 900 THEN 1 ELSE 0 END) AS BIGINT) AS w_900,
+                   CAST(sum(CASE WHEN epoch(ts) > m - 3600 THEN 1 ELSE 0 END) AS BIGINT) AS w_3600,
+                   CAST(sum(CASE WHEN epoch(ts) > m - 21600 THEN 1 ELSE 0 END) AS BIGINT) AS w_21600,
+                   CAST(sum(CASE WHEN epoch(ts) > m - 43200 THEN 1 ELSE 0 END) AS BIGINT) AS w_43200,
+                   CAST(sum(CASE WHEN epoch(ts) > m - 86400 THEN 1 ELSE 0 END) AS BIGINT) AS w_86400,
+                   CAST(sum(CASE WHEN epoch(ts) > m - 604800 THEN 1 ELSE 0 END) AS BIGINT) AS w_604800
+            FROM events, mx GROUP BY event_type
         """,
         "schedule_round_analog": """
             SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, pop_rank

@@ -51,6 +51,14 @@ class EngineConfig:
     # (parallel write); small ints keep file counts tiny for long test
     # crawls at the cost of a single-task serial write per append
     append_coalesce: int | None = None
+    # Heartbeat liveness TTL (s) — the reference spider self-reports
+    # ``stats:crawler:<host>:<spider>:<uuid>`` with expiry
+    # ip_update_interval*2 = 120 s (distributed_scheduler.py:310-320)
+    heartbeat_ttl: int = 120
+    # Stats-API queue payload: max domains listed per spider queue (the
+    # reference payload is unbounded — a driver OOM at 10^7 domains;
+    # the cap keeps the collect bounded, remainder is summarized)
+    stats_queue_domains_cap: int = 100
     # Request-schema defaults — kafka-monitor/plugins/scraper_schema.json
     default_spiderid: str = "link"
     default_priority: int = 1

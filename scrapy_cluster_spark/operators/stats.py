@@ -19,6 +19,37 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# scutils StatsCollector rolling windows used by every component
+# (crawler/crawling/settings.py:120-127, redis-monitor/settings.py:50-57:
+# SECONDS_15_MINUTE … SECONDS_1_WEEK) — stats-API responses key counts by
+# these window lengths plus 'lifetime' (docs/topics/kafka-monitor/
+# api.rst "rolling time windows").
+STATS_TIMES = [900, 3600, 21600, 43200, 86400, 604800]
+
+
+def _windowed_counts(df: DataFrame, ts_expr, now: float, group_cols: list[str]) -> DataFrame:
+    """lifetime + one trailing-window count per STATS_TIMES entry, in a
+    single grouped aggregation (one pass, map-side combinable)."""
+    aggs = [F.count("*").alias("lifetime")] + [
+        F.sum(F.when(ts_expr > F.lit(now) - F.lit(w), 1).otherwise(0)).alias(f"w_{w}")
+        for w in STATS_TIMES
+    ]
+    return df.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
+
+
+def _window_dict(row) -> dict:
+    """api.rst shape: numeric window keys appear only while non-empty
+    (expired windows drop off, e.g. the 504 example with only
+    'lifetime'); lifetime always present."""
+    d = {str(w): int(row[f"w_{w}"]) for w in STATS_TIMES if row[f"w_{w}"]}
+    d["lifetime"] = int(row["lifetime"])
+    return d
+
+
+def live_heartbeats(heartbeats: DataFrame, now: float, ttl: int = 120) -> DataFrame:
+    """TTL filter over self-reports: the Redis key-expiry analog."""
+    return heartbeats.filter(F.col("ts") > F.lit(now) - F.lit(ttl))
+
 
 # ---------------------------------------------------------------------------
 # metrics_events-style aggregations
@@ -143,59 +174,105 @@ def build_crawlid_info(frontier: DataFrame, crawl_jobs: DataFrame,
 
 
 def build_stats_payload(frontier: DataFrame, crawled: DataFrame, metrics: DataFrame,
-                        which: str = "all") -> dict:
+                        which: str = "all", now: float = 0.0,
+                        heartbeats: DataFrame | None = None,
+                        round_len: int = 60, heartbeat_ttl: int = 120,
+                        queue_domains_cap: int = 100) -> dict:
     """StatsMonitor.handle dispatch (stats_monitor.py:15-67): assemble
     the stats-API response for ``stats`` ∈ {queue, spider, machine,
-    crawler, kafka-monitor, redis-monitor, all}.  Response shape per
-    docs/topics/kafka-monitor/api.rst: nested dicts; window-keyed
-    totals collapse to per-round totals here (the engine's windows are
-    rounds)."""
+    crawler, kafka-monitor, redis-monitor, all}.
+
+    Response shape per docs/topics/kafka-monitor/api.rst: counts are
+    keyed by rolling window seconds (STATS_TIMES) + 'lifetime'; spider
+    'count' / machines 'count' come from TTL'd heartbeat self-reports
+    (stats_monitor.py:169-202, :215-242), not from crawled rows."""
     out: dict = {"stats": which}
+    crawl_ts = F.col("round") * F.lit(round_len)  # event time of a crawled row
+    live = (
+        live_heartbeats(heartbeats, now, heartbeat_ttl).collect()
+        if heartbeats is not None
+        else []
+    )
 
     def queue_part():
+        from pyspark.sql import Window
+
         per_spider = queue_stats_df(frontier).collect()
+        # cap the per-spider domain list (reference payload is unbounded
+        # — a driver OOM at 10^7 domains); keep the top-backlog domains,
+        # the tail stays summarized in spider_backlog/num_domains
+        w = Window.partitionBy("spiderid").orderBy(F.desc("backlog"), F.asc("domain"))
         per_domain = (
-            frontier.groupBy("spiderid", "domain").agg(F.count("*").alias("backlog")).collect()
+            frontier.groupBy("spiderid", "domain")
+            .agg(F.count("*").alias("backlog"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= queue_domains_cap)
+            .collect()
         )
         queues = {}
         for r in per_spider:
-            queues[f"queue_{r['spiderid']}"] = {
+            listed = [
+                {"domain": d["domain"], "backlog": d["backlog"]}
+                for d in per_domain
+                if d["spiderid"] == r["spiderid"]
+            ]
+            entry = {
                 "spider_backlog": r["spider_backlog"],
                 "num_domains": r["num_domains"],
-                "domains": [
-                    {"domain": d["domain"], "backlog": d["backlog"]}
-                    for d in per_domain
-                    if d["spiderid"] == r["spiderid"]
-                ],
+                "domains": listed,
             }
+            if r["num_domains"] > len(listed):
+                entry["domains_truncated"] = r["num_domains"] - len(listed)
+            queues[f"queue_{r['spiderid']}"] = entry
         queues["total_backlog"] = sum(r["spider_backlog"] for r in per_spider)
         return queues
 
     def spider_part():
-        rows = spider_stats_df(crawled).collect()
-        spiders: dict = {"unique_spider_count": len({r["spiderid"] for r in rows}),
-                         "total_spider_count": len({r["spiderid"] for r in rows})}
+        rows = _windowed_counts(
+            crawled.filter(F.col("status_code").isNotNull()),
+            crawl_ts, now, ["spiderid", "status_code"],
+        ).collect()
+        crawler_live = [h for h in live if h["component"] == "crawler"]
+        spiders: dict = {
+            "unique_spider_count": len({h["spiderid"] for h in crawler_live}),
+            "total_spider_count": len(crawler_live),
+        }
+        for h in crawler_live:
+            spiders.setdefault(h["spiderid"], {}).setdefault("count", 0)
+            spiders[h["spiderid"]]["count"] += 1
         for r in rows:
-            spiders.setdefault(r["spiderid"], {})[str(r["status_code"])] = {
-                "lifetime": r["total"]
-            }
+            spiders.setdefault(r["spiderid"], {})[str(r["status_code"])] = _window_dict(r)
         return spiders
 
     def machine_part():
-        rows = machine_stats_df(crawled).collect()
-        return {
-            "count": 1,  # one logical machine in-sandbox
-            "localhost": {str(r["status_code"]): {"lifetime": r["total"]} for r in rows},
-        }
+        rows = _windowed_counts(
+            crawled.filter(F.col("status_code").isNotNull()),
+            crawl_ts, now, ["status_code"],
+        ).collect()
+        hosts = sorted({h["host"] for h in live if h["component"] == "crawler"}) or [
+            "localhost"
+        ]
+        # single egress identity: crawl totals attributed to the engine
+        # host (first); other live hosts are listed for count parity
+        machines: dict = {"count": len(hosts)}
+        machines[hosts[0]] = {str(r["status_code"]): _window_dict(r) for r in rows}
+        for extra in hosts[1:]:
+            machines.setdefault(extra, {})
+        return machines
 
     def monitor_part(component: str):
-        rows = (
+        rows = _windowed_counts(
+            metrics.filter(F.col("component") == component), F.col("ts"), now, ["kind"]
+        ).collect()
+        totals = (
             metrics.filter(F.col("component") == component)
-            .groupBy("kind")
-            .agg(F.sum("value").alias("total"))
-            .collect()
+            .groupBy("kind").agg(F.sum("value").alias("total")).collect()
         )
-        return {r["kind"]: {"lifetime": r["total"]} for r in rows}
+        tmap = {r["kind"]: r["total"] for r in totals}
+        return {
+            r["kind"]: dict(_window_dict(r), total_value=tmap.get(r["kind"]))
+            for r in rows
+        }
 
     if which in ("queue", "all"):
         out["queue"] = queue_part()

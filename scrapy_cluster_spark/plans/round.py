@@ -48,6 +48,7 @@ from scrapy_cluster_spark.schemas import (
     DOMAIN_CONFIG_SCHEMA,
     FETCH_LOG_SCHEMA,
     FRONTIER_SCHEMA,
+    HEARTBEATS_SCHEMA,
     METRICS_SCHEMA,
     SEEN_SCHEMA,
 )
@@ -87,13 +88,13 @@ def _footer_rows(files: list[str]) -> int:
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
-def _distinct_in_files(files: list[str], column: str) -> int:
+def _distinct_in_files(files: list[str], column: str) -> set:
     import pyarrow.parquet as pq
 
     vals: set = set()
     for f in files:
         vals.update(pq.read_table(f, columns=[column])[column].to_pylist())
-    return len(vals)
+    return vals
 
 
 def lineage_path(store: SnapshotStore) -> str:
@@ -163,8 +164,11 @@ def run_round(
     # from the parquet footers of the committed deltas — each count()
     # is a full Spark job whose driver-side planning is the dominant
     # serial cost per round at high core counts)
+    fetch_handles: list = []
     items = fetch.assemble_items(
-        fetch.fetch_batch(scheduled, pages), round_id, cfg.round_len
+        fetch.fetch_batch(scheduled, pages, handles=fetch_handles),
+        round_id,
+        cfg.round_len,
     ).persist()
 
     # ---- discovered children + retries → enqueue filter chain
@@ -193,54 +197,76 @@ def run_round(
     new_frontier = remaining.unionByName(accepted)
 
     # ---- commits (lineage row last = atomic round commit)
-    out_versions = dict(pins)
-    out_versions["frontier"] = store.overwrite(
-        "frontier", new_frontier, partition_by=["bucket"], meta={"round": round_id}
-    )
-    out_versions["seen"] = store.append(
-        "seen",
-        seen_inserts.select(
-            "spiderid", "crawlid", "fingerprint",
-            F.lit(round_id).cast("long").alias("seen_round"), "bucket",
+    #
+    # The five table writes are INDEPENDENT Spark jobs over persisted
+    # intermediates (scheduled / items / children / enqueue_in), and the
+    # SnapshotStore commits per-table manifests — so they run
+    # CONCURRENTLY from driver threads.  Sequential writes were the
+    # dominant per-round serial cost (each job pays full DAG-planning
+    # latency back-to-back; round-1 bench measured a 14-22 s/round
+    # serial floor).  Crash consistency is unchanged: the lineage row
+    # still commits last, and resume rolls every table back to the last
+    # lineage-recorded version, so a crash that lands only some of the
+    # concurrent commits leaves no observable partial round.
+    deltas = domain_deltas
+    if global_deltas is not None:
+        deltas = deltas.unionByName(global_deltas)
+
+    writes = {
+        "frontier": lambda: store.overwrite(
+            "frontier", new_frontier, partition_by=["bucket"], meta={"round": round_id}
         ),
-        meta={"round": round_id},
-        coalesce=cfg.append_coalesce,
-    )
+        "seen": lambda: store.append(
+            "seen",
+            seen_inserts.select(
+                "spiderid", "crawlid", "fingerprint",
+                F.lit(round_id).cast("long").alias("seen_round"), "bucket",
+            ),
+            meta={"round": round_id},
+            coalesce=cfg.append_coalesce,
+        ),
+        # crawled rows carry full html bodies — parallel write, never 1
+        # task.  'ok' duplicates 'success' as the partition dir
+        # (partition columns are stripped from data files; schema-pinned
+        # file reads would see null success otherwise) so pages_crawled
+        # comes free from footers
+        "crawled": lambda: store.append(
+            "crawled",
+            fetch.project_crawled(items).withColumn("ok", F.col("success")),
+            partition_by=["ok"],
+            repartition=False,
+            meta={"round": round_id},
+        ),
+        "fetch_log": lambda: store.append(
+            "fetch_log",
+            scheduled.select(
+                throttle.throttle_key_expr(cfg).alias("throttle_key"),
+                "domain", "spiderid", "url",
+                F.lit(round_id).cast("long").alias("round"), "slot_ts",
+            ),
+            meta={"round": round_id},
+            coalesce=cfg.append_coalesce,
+        ),
+        "page_counts": lambda: store.append(
+            "page_counts", deltas, meta={"round": round_id}, coalesce=cfg.append_coalesce
+        ),
+    }
     if cfg.use_bloom:
         # delta bloom over this round's new fps; OR-merged at probe time
-        out_versions["blooms"] = store.append(
+        writes["blooms"] = lambda: store.append(
             "blooms",
             bloom.build_delta_blooms(seen_inserts, cfg.bloom_m_bits, cfg.bloom_k),
             meta={"round": round_id},
             coalesce=1,
         )
-    # crawled rows carry full html bodies — parallel write, never 1 task.
-    # 'ok' duplicates 'success' as the partition dir (partition columns
-    # are stripped from data files; schema-pinned file reads would see
-    # null success otherwise) so pages_crawled comes free from footers
-    out_versions["crawled"] = store.append(
-        "crawled",
-        fetch.project_crawled(items).withColumn("ok", F.col("success")),
-        partition_by=["ok"],
-        repartition=False,
-        meta={"round": round_id},
-    )
-    out_versions["fetch_log"] = store.append(
-        "fetch_log",
-        scheduled.select(
-            throttle.throttle_key_expr(cfg).alias("throttle_key"),
-            "domain", "spiderid", "url",
-            F.lit(round_id).cast("long").alias("round"), "slot_ts",
-        ),
-        meta={"round": round_id},
-        coalesce=cfg.append_coalesce,
-    )
-    deltas = domain_deltas
-    if global_deltas is not None:
-        deltas = deltas.unionByName(global_deltas)
-    out_versions["page_counts"] = store.append(
-        "page_counts", deltas, meta={"round": round_id}, coalesce=cfg.append_coalesce
-    )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    out_versions = dict(pins)
+    with ThreadPoolExecutor(max_workers=len(writes)) as ex:
+        futures = {t: ex.submit(fn) for t, fn in writes.items()}
+        for t, fut in futures.items():
+            out_versions[t] = fut.result()
 
     # ---- round stats from committed parquet footers (no Spark jobs)
     def _delta(table: str) -> list[str]:
@@ -252,8 +278,28 @@ def run_round(
     n_scheduled = _footer_rows(fetch_delta)
     n_ok = _footer_rows([f for f in _delta("crawled") if "ok=true" in f])
     n_candidates = _footer_rows(_delta("seen"))  # new fps after robots+dupe
-    n_domains_active = _distinct_in_files(fetch_delta, "domain")
+    n_domains_active = len(_distinct_in_files(fetch_delta, "domain"))
     elapsed = time.time() - t0
+
+    # heartbeat self-reports (distributed_scheduler.py:310-320 analog):
+    # one 'crawler' row per spider type active this round — spiderids
+    # come from the already-read fetch_log footers, zero extra Spark
+    # jobs.  Liveness = ts within cfg.heartbeat_ttl of 'now'.
+    import socket
+
+    host = socket.gethostname()
+    active_spiders = sorted(_distinct_in_files(fetch_delta, "spiderid"))
+    hb_rows = [
+        {"component": "crawler", "host": host, "uuid": f"engine-{s}",
+         "spiderid": s, "ts": now}
+        for s in active_spiders
+    ] + [
+        {"component": "redis-monitor", "host": host, "uuid": "engine",
+         "spiderid": None, "ts": now},
+        {"component": "kafka-monitor", "host": host, "uuid": "engine",
+         "spiderid": None, "ts": now},
+    ]
+    store.append_rows("heartbeats", hb_rows, HEARTBEATS_SCHEMA, meta={"round": round_id})
     metric_rows = [
         ("queue_depth", float(frontier_depth)),
         ("domains_active", float(n_domains_active)),
@@ -277,6 +323,8 @@ def run_round(
     items.unpersist()
     children.unpersist()
     enqueue_in.unpersist()
+    for h in fetch_handles:
+        h.unpersist()
 
     lineage = {
         "round": round_id,

@@ -217,6 +217,21 @@ DOMAIN_CONFIG_SCHEMA = StructType(
 # metrics — replaces the Redis stats zsets/HLL/counters
 # (utils/scutils/stats_collector.py:416-576); appended per round
 # (north_rule: per-round queue depth, domains active, pages/sec).
+# Liveness self-reports — the reference's TTL'd
+# ``stats:<component>:<host>:<uuid>`` / ``stats:crawler:<host>:<spider>:
+# <uuid>`` keys (distributed_scheduler.py:310-320, kafka_monitor.py:407-415).
+# A row is "live" while ts > now - heartbeat_ttl; expiry is a filter, not
+# a delete.
+HEARTBEATS_SCHEMA = StructType(
+    [
+        StructField("component", StringType()),  # crawler|kafka-monitor|redis-monitor
+        StructField("host", StringType()),
+        StructField("uuid", StringType()),
+        StructField("spiderid", StringType()),  # null for non-crawler components
+        StructField("ts", DoubleType()),
+    ]
+)
+
 METRICS_SCHEMA = StructType(
     [
         StructField("round", LongType()),

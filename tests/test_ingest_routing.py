@@ -60,4 +60,24 @@ def test_firehose_json_projection(spark, pages):
     import base64
 
     assert base64.b64decode(msg["body"]).startswith(b"<html>")
+
+    # wire parity with ujson.dumps(datum, sort_keys=True) (pipelines.py:198):
+    # keys arrive in sorted order and null fields are serialized, not dropped
+    raw_keys = [k for k, _ in json.loads(
+        out[0].value, object_pairs_hook=lambda p: {"__pairs__": p}
+    )["__pairs__"]]
+    assert raw_keys == sorted(raw_keys)
+    assert "exception" in raw_keys  # null on a successful fetch, still present
+    assert msg["exception"] is None
+
+    # log/console sink: bulky fields dropped, ack stamp added
+    # (pipelines.py:140-154 _clean_item)
+    from scrapy_cluster_spark.sources.sinks import log_sink_json
+
+    logmsg = json.loads(log_sink_json(crawled).collect()[0].value)
+    for dropped in ("body", "links", "response_headers", "request_headers",
+                    "status_code", "status_msg"):
+        assert dropped not in logmsg
+    assert logmsg["action"] == "ack"
+    assert logmsg["appid"] == "sinkapp"
     shutil.rmtree(tmp, ignore_errors=True)

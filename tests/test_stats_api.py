@@ -21,7 +21,9 @@ def test_stats_action_payload(store, pages):
     )
     run_crawl(store, pages, CFG, max_rounds=2)
     feed_action(store, {"action": "stats", "uuid": "u-stats", "stats": "all"})
-    process_actions(store, round_id=5)
+    # round 2 → now=120 s: the round-1 crawler heartbeat (ts=60, the
+    # only round that scheduled anything) is inside the 120 s TTL
+    process_actions(store, round_id=2)
 
     ack = poll_outbound(store, "u-stats")
     assert ack is not None and ack["action"] == "stats"
@@ -29,9 +31,32 @@ def test_stats_action_payload(store, pages):
     assert p["stats"] == "all"
     # queue stats reflect the (drained) frontier; spider stats the crawl
     assert "total_backlog" in p["queue"]
-    assert p["spider"]["link"]["200"]["lifetime"] == 5
-    assert p["machine"]["localhost"]["200"]["lifetime"] == 5
+    # window-keyed response (api.rst:324): rolling windows + lifetime
+    s200 = p["spider"]["link"]["200"]
+    assert s200["lifetime"] == 5
+    assert s200["900"] == 5  # crawl events (t=60) inside 15 min of now=120
+    assert s200["604800"] == 5
+    # heartbeat-derived live counts (stats_monitor.py:169-202)
+    assert p["spider"]["unique_spider_count"] == 1
+    assert p["spider"]["total_spider_count"] == 1
+    assert p["spider"]["link"]["count"] == 1
+    import socket
+
+    host = socket.gethostname()
+    assert p["machine"]["count"] == 1
+    assert p["machine"][host]["200"]["lifetime"] == 5
     assert "kafka-monitor" in p and "redis-monitor" in p
+
+    # --- heartbeat expiry: same store, much later stats action.  A
+    # heartbeat older than the TTL no longer counts as live (Redis
+    # key-expiry analog, distributed_scheduler.py:319-320)
+    feed_action(store, {"action": "stats", "uuid": "u-stats-late", "stats": "spider"})
+    process_actions(store, round_id=10)  # now=600: ts=60 is stale (TTL 120)
+    p2 = poll_outbound(store, "u-stats-late")["payload"]
+    assert p2["spider"]["total_spider_count"] == 0
+    assert "count" not in p2["spider"].get("link", {})
+    # lifetime survives; the 900 s window (600-900<60) still covers t=60
+    assert p2["spider"]["link"]["200"]["lifetime"] == 5
 
 
 def test_poll_unknown_uuid(store):
