@@ -289,6 +289,18 @@ def q_lsh_ann_topk(spark, sf):
     return V.lsh_ann_topk(queries, corpus, k=5)
 
 
+def q_ivf_ann_topk(spark, sf):
+    """IVF ANN (k-means coarse quantizer, nprobe cell probe + exact
+    rerank) — the second scale path; approximate, rows-only check
+    (iterative training is not SQL-expressible)."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return V.ivf_ann_topk(queries, corpus, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -322,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
     }
 
 

@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     LongType,
@@ -89,6 +90,92 @@ def extract_media_meta(df: DataFrame, id_col: str = "media_id",
 
     return df.select(id_col, payload_col, type_col).mapInPandas(
         decode, schema=MEDIA_META_SCHEMA
+    )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int,
+                  id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
+    """mapInPandas resize stage (binary in → binary out, fixed target
+    dims).  The real kernel (PIL/opencv) is absent here — the
+    deterministic fake re-encodes the payload as a crc-stamped byte
+    string proportional to target area, so batch shape, binary-out
+    schema, and null handling are exercised for real; swap ``_fake``
+    for a codec call on a real cluster (decode_image hook)."""
+
+    def _fake(payload: bytes | None) -> bytes | None:
+        if payload is None:
+            return None
+        crc = zlib.crc32(payload)
+        # deterministic pseudo-pixels: area/64 bytes seeded by content
+        n = max(1, (target_w * target_h) // 64)
+        return np.random.RandomState(crc % (2**31)).bytes(n)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "width": np.int32(target_w),
+                    "height": np.int32(target_h),
+                    "payload": [_fake(p) for p in pdf[payload_col]],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 32,
+                  id_col: str = "media_id", payload_col: str = "payload",
+                  type_col: str = "media_type") -> DataFrame:
+    """mapInPandas frame-sampling stage for video payloads: one input
+    row fans out to ≤max_frames frame rows at every_ms spacing — the
+    1:N output shape (unlike decode's 1:1) is the contract exercised
+    here.  Frame count derives from the fake decoder's duration;
+    non-video rows produce zero frames.  The capped fan-out bounds
+    output volume at corpus scale (a 10 h video cannot explode a task)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "ts_ms": [], "frame": []}
+            for i, p, t in zip(pdf[id_col], pdf[payload_col], pdf[type_col]):
+                if t != "video" or p is None:
+                    continue
+                meta = _fake_meta(i, p, t)
+                n = min(max_frames, max(1, meta["duration_ms"] // every_ms))
+                crc = zlib.crc32(p)
+                for f in range(int(n)):
+                    out["media_id"].append(i)
+                    out["frame_idx"].append(f)
+                    out["ts_ms"].append(f * every_ms)
+                    out["frame"].append(
+                        np.random.RandomState((crc + f) % (2**31)).bytes(32)
+                    )
+            yield pd.DataFrame(out).astype(
+                {"frame_idx": "int32", "ts_ms": "int32"}, errors="ignore"
+            )
+
+    return df.select(id_col, payload_col, type_col).mapInPandas(
+        sample, schema=FRAMES_SCHEMA
     )
 
 

@@ -164,6 +164,112 @@ def neardup_pairs_lsh(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "c_vec",
+    id_col: str = "c_id",
+    n_centroids: int = 16,
+    iters: int = 5,
+    sample: int = 2048,
+    seed: int = 7,
+) -> np.ndarray:
+    """IVF coarse quantizer: Lloyd's k-means on a BOUNDED sample.
+
+    The training collect is capped at ``sample`` rows (deterministic:
+    lowest ids), so driver memory is O(sample×dim) regardless of corpus
+    size — at 10⁹ vectors the sample is still 2048 rows.  Seeded init +
+    fixed iteration count ⇒ identical centroids on every run/cluster
+    size.  Vectors are L2-normalized so nearest-centroid-by-dot ≡
+    nearest-by-cosine."""
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample)
+        .collect()
+    )
+    X = np.asarray([r[1] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    k = min(n_centroids, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(iters):
+        # assign to max-dot centroid (ties → lowest index via argmax)
+        a = np.argmax(X @ C.T, axis=1)
+        for j in range(k):
+            members = X[a == j]
+            if len(members):
+                c = members.mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return C
+
+
+def _ivf_cell_udfs(centroids: np.ndarray, nprobe: int):
+    """(assign_udf, probe_udf): corpus vec → 1 nearest cell; query vec →
+    its ``nprobe`` nearest cells.  Closure-captured centroid matrix is
+    tiny (k×dim) — shipped once per executor with the UDF."""
+    C = centroids
+
+    def _norm(v):
+        arr = np.asarray(v, dtype=np.float64)
+        return arr / max(np.linalg.norm(arr), 1e-12)
+
+    @F.pandas_udf(IntegerType())
+    def assign_udf(vecs: pd.Series) -> pd.Series:
+        return vecs.map(
+            lambda v: None if v is None else int(np.argmax(C @ _norm(v)))
+        )
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_udf(vecs: pd.Series) -> pd.Series:
+        def cells(v):
+            if v is None:
+                return None
+            d = C @ _norm(v)
+            # top-nprobe cells, deterministic ties (stable argsort on -d, id)
+            return [int(i) for i in np.argsort(-d, kind="stable")[:nprobe]]
+
+        return vecs.map(cells)
+
+    return assign_udf, probe_udf
+
+
+def ivf_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_q: str = "q_id",
+    id_c: str = "c_id",
+    vec_q: str = "q_vec",
+    vec_c: str = "c_vec",
+) -> DataFrame:
+    """IVF approximate top-k: the second scale path next to
+    hyperplane-LSH (lsh_ann_topk).
+
+    Plan shape at 10⁹ vectors: corpus assigned ONE cell id (linear Arrow
+    pass, in production persisted/partitioned BY cell — the inverted
+    file); each query probes its ``nprobe`` nearest cells; candidate
+    scoring is an equi-join on cell touching ~nprobe/k of the corpus;
+    exact cosine reranks.  Recall < 1 by construction (rows-only
+    correctness check; recall itself is pinned by
+    tests/test_pipeline_ops.py)."""
+    from pyspark.sql import Window
+
+    C = train_ivf_centroids(corpus, vec_c, id_c, n_centroids)
+    assign_udf, probe_udf = _ivf_cell_udfs(C, nprobe)
+    cb = corpus.withColumn("cell", assign_udf(F.col(vec_c)))
+    qb = queries.withColumn("cell", F.explode(probe_udf(F.col(vec_q))))
+    scored = F.broadcast(qb).join(cb, "cell").withColumn("cos", cosine(vec_q, vec_c))
+    w = Window.partitionBy(id_q).orderBy(F.desc("cos"), F.asc(id_c))
+    return (
+        scored.filter(F.col(id_q) != F.col(id_c))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_q, id_c, "cos", "rank")
+    )
+
+
 def lsh_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,

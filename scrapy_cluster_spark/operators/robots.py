@@ -39,6 +39,10 @@ def apply_robots(candidates: DataFrame, robots_rules: DataFrame) -> DataFrame:
         .agg(F.collect_list("disallow_prefix").alias("disallow"))
     )
     joined = candidates.join(F.broadcast(rules), "domain", "left")
-    path = F.coalesce(_path_expr(), F.lit("/"))
+    # a URL with no path component is the root: '' → '/' (so
+    # 'Disallow: /' blocks http://a.com too; regexp_extract returns ''
+    # not null on no-match, hence when(), not coalesce())
+    raw = _path_expr()
+    path = F.when(raw == "", F.lit("/")).otherwise(raw)
     blocked = F.exists("disallow", lambda p: F.startswith(path, p))
     return joined.filter(F.col("disallow").isNull() | ~blocked).drop("disallow")

@@ -24,6 +24,9 @@ KEY_QUERIES = [
     "throttle_trailing_window",
     "minhash_neardup",
     "cosine_topk",
+    "embedding_neardup",
+    "ivf_ann_topk",
+    "stats_windows",
 ]
 
 

@@ -145,6 +145,52 @@ class TestVectors:
         assert any(r.q_id == 0 and r.c_id == 1 for r in got)
 
 
+class TestIVF:
+    def test_ivf_recall_vs_bruteforce(self, spark):
+        """IVF recall against exact top-k on the real test corpus.
+
+        Near-iid-gaussian embeddings are IVF's worst case (no cluster
+        structure → cell assignment carries little signal), so the
+        recall curve is the honest check: measured numpy ground truth on
+        this corpus is 0.70 @ nprobe=4 and 0.86 @ nprobe=8 of 16 cells.
+        Probing ALL cells must reproduce brute force exactly.  Results
+        are deterministic across runs (seeded k-means, stable ties)."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter("vec_id < 10").select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+        exact = {(r.q_id, r.c_id) for r in V.brute_force_topk(q, c, k=5).collect()}
+
+        ivf4 = {(r.q_id, r.c_id) for r in V.ivf_ann_topk(q, c, k=5, nprobe=4).collect()}
+        again = {(r.q_id, r.c_id) for r in V.ivf_ann_topk(q, c, k=5, nprobe=4).collect()}
+        assert ivf4 == again  # deterministic
+        assert len(ivf4 & exact) / len(exact) >= 0.6
+
+        ivf8 = {(r.q_id, r.c_id) for r in V.ivf_ann_topk(q, c, k=5, nprobe=8).collect()}
+        assert len(ivf8 & exact) / len(exact) >= 0.8
+
+        full = {(r.q_id, r.c_id) for r in
+                V.ivf_ann_topk(q, c, k=5, n_centroids=16, nprobe=16).collect()}
+        assert full == exact  # full probe ≡ brute force
+
+    def test_ivf_finds_planted_neardup(self, spark, emb=None):
+        rng = np.random.RandomState(3)
+        vecs = rng.normal(size=(60, 16))
+        vecs[1] = vecs[0] + 0.01 * rng.normal(size=16)  # planted near-dup
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+            ["vec_id", "embedding"],
+        )
+        q = df.filter("vec_id = 0").select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        c = df.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+        top = V.ivf_ann_topk(q, c, k=3, n_centroids=8, nprobe=2).collect()
+        # a near-identical vector lands in the same (or probed) cell
+        assert top and top[0].c_id == 1 and top[0].cos > 0.99
+
+
 class TestMultimodal:
     def test_decode_stub_plumbing(self, spark):
         rows = [(i, bytes([i]) * (10 + i), "image" if i % 2 else "video") for i in range(20)]
@@ -163,3 +209,32 @@ class TestMultimodal:
     def test_real_decode_is_stubbed(self):
         with pytest.raises(NotImplementedError):
             M.decode_image(b"\x89PNG")
+
+    def test_resize_plumbing(self, spark):
+        rows = [(0, b"abc" * 10), (1, None), (2, b"xyz" * 5)]
+        df = spark.createDataFrame(rows, ["media_id", "payload"])
+        out = {r.media_id: r for r in M.resize_images(df, 64, 48).collect()}
+        assert len(out) == 3  # 1:1 rows, nulls preserved
+        assert out[0].width == 64 and out[0].height == 48
+        assert out[1].payload is None
+        assert len(out[0].payload) == (64 * 48) // 64
+        # deterministic per content
+        again = {r.media_id: r for r in M.resize_images(df, 64, 48).collect()}
+        assert bytes(out[2].payload) == bytes(again[2].payload)
+
+    def test_frame_sample_plumbing(self, spark):
+        rows = [
+            (0, b"vid-a" * 40, "video"),
+            (1, b"img" * 4, "image"),   # non-video → 0 frames
+            (2, None, "video"),          # null payload → 0 frames
+        ]
+        df = spark.createDataFrame(rows, ["media_id", "payload", "media_type"])
+        frames = M.sample_frames(df, every_ms=1000, max_frames=8).collect()
+        by_id = {}
+        for r in frames:
+            by_id.setdefault(r.media_id, []).append(r)
+        assert set(by_id) == {0}
+        f0 = sorted(by_id[0], key=lambda r: r.frame_idx)
+        assert 1 <= len(f0) <= 8  # capped 1:N fan-out
+        assert [r.ts_ms for r in f0] == [i * 1000 for i in range(len(f0))]
+        assert all(len(r.frame) == 32 for r in f0)
