@@ -197,6 +197,26 @@ def q_doc_langid(spark, sf):
     return docs.select("doc_id", T.lang_id("text").alias("lang_pred"))
 
 
+def q_doc_subword_tokens(spark, sf):
+    """BPE-ish subword token count (GPT-2 pre-tokenizer regex subset) —
+    pure JVM regexp_count; the budget metric for LLM corpus sizing."""
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id", T.subword_token_count("text").alias("n_subword")
+    )
+
+
+def q_winnow_fingerprints(spark, sf):
+    """Winnowing rolling-hash document fingerprints (Schleimer et al.
+    SIGMOD'03): (doc_id, fp) exploded rows — the local-substring
+    fingerprint family next to MinHash's global one; any shared
+    substring ≥ k+window-1 chars shares ≥1 fp."""
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id", F.explode(T.winnow_fingerprints("text")).alias("fp")
+    )
+
+
 def q_exact_dedup(spark, sf):
     docs = _t(spark, sf, "documents")
     return (
@@ -326,6 +346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_count": q_doc_token_count,
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
+        "doc_subword_tokens": q_doc_subword_tokens,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_neardup": q_minhash_neardup,
@@ -491,6 +513,32 @@ def oracle_sql() -> dict[str, str]:
                 ELSE 'und'
               END AS lang_pred
             FROM documents
+        """,
+        "doc_subword_tokens": r"""
+            SELECT doc_id, len(regexp_extract_all(text,
+              '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'
+            )) AS n_subword FROM documents
+        """,
+        "winnow_fingerprints": r"""
+            WITH norm AS (
+              SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+              FROM documents
+            ), codes AS (
+              SELECT doc_id,
+                     list_transform(string_split(t, ''), ch -> CAST(ascii(ch) AS BIGINT)) AS cs
+              FROM norm
+            ), grams AS (
+              SELECT doc_id, list_transform(generate_series(1, greatest(len(cs) - 6, 0)),
+                    i -> list_reduce(cs[i:i+6], (acc, x) -> (acc * 257 + x) % 2147483647)) AS g
+              FROM codes
+            ), wins AS (
+              SELECT doc_id, CASE WHEN len(g) = 0 THEN []::BIGINT[]
+                     ELSE list_sort(list_distinct(list_transform(
+                            generate_series(1, greatest(len(g) - 3, 1)),
+                            i -> list_aggregate(g[i:i+3], 'min')))) END AS w
+              FROM grams
+            )
+            SELECT doc_id, unnest(w) AS fp FROM wins
         """,
         "exact_dedup": """
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,

@@ -18,7 +18,12 @@ Components:
 
 from __future__ import annotations
 
+import re as _re
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 # tiny per-language function-word lists (public common words)
 LANG_STOPWORDS = {
@@ -107,3 +112,66 @@ def doc_fingerprint(text: str | Column = "text") -> Column:
     (both Spark and DuckDB expose identical md5)."""
     c = F.col(text) if isinstance(text, str) else text
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+# GPT-2-style pre-tokenizer pattern (public: the openai/gpt-2 encoder
+# regex), restricted to the common subset of Java regex (Spark) and RE2
+# (DuckDB): contraction suffixes, letter runs, digit runs, punctuation
+# runs, whitespace runs — the original's trailing-space lookahead is
+# dropped (RE2 has no lookahead), which only re-attributes trailing
+# whitespace between matches, not the count scale.
+BPE_TOKEN_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def subword_token_count(text: str | Column = "text") -> Column:
+    """BPE-ish token count: matches of the pre-tokenizer regex — the
+    count an LLM-data pipeline budgets corpus size with (whitespace
+    token_count undercounts punctuation-heavy text).  Pure JVM
+    regexp_count, scan-speed at 100 TB."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(BPE_TOKEN_PATTERN))
+
+
+def winnow_fingerprints(
+    text: str | Column = "text",
+    k: int = 7,
+    window: int = 4,
+    prime: int = (1 << 31) - 1,
+    base: int = 257,
+) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03 — public algorithm): Rabin-Karp rolling hash over
+    normalized characters, k-gram hashes, min-sampled per window of
+    ``window`` consecutive hashes, deduplicated + sorted.  Guarantees
+    any shared substring >= k+window-1 chars yields at least one shared
+    fingerprint — the local document-fingerprint family next to
+    MinHash's global one.
+
+    Arrow-vectorized numpy UDF (a pure-SQL nested transform/slice
+    formulation is interpreted, not codegen'd — measured ~4 s/doc);
+    the polynomial-dot-mod-p equals the iterative (acc*base+x) mod p
+    the DuckDB oracle computes, and prime 2^31-1 keeps every
+    intermediate under 2^55 — int64-safe in both engines."""
+    pows = np.array([pow(base, k - 1 - j, prime) for j in range(k)], dtype=np.uint64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def winnow(texts: pd.Series) -> pd.Series:
+        def fp(t):
+            if t is None:
+                return []
+            s = _re.sub(r"\s+", " ", t.strip().lower())
+            if len(s) < k:
+                return []
+            c = np.fromiter((ord(ch) for ch in s), dtype=np.uint64, count=len(s))
+            win_view = np.lib.stride_tricks.sliding_window_view(c, k)
+            grams = (win_view * pows[None, :]).sum(axis=1) % np.uint64(prime)
+            if grams.size < window:
+                mins = np.array([grams.min()])
+            else:
+                mins = np.lib.stride_tricks.sliding_window_view(grams, window).min(axis=1)
+            return sorted({int(x) for x in mins})
+
+        return texts.map(fp)
+
+    c = F.col(text) if isinstance(text, str) else text
+    return winnow(c)

@@ -35,6 +35,43 @@ class TestTextAnalysis:
         assert got[0] == 13
         assert got[7] == 1
 
+    def test_subword_vs_whitespace_tokens(self, spark):
+        """BPE-ish pre-tokenizer counts contractions/punct separately —
+        diverges from whitespace counting on real text (the synthetic
+        corpus is punctuation-free, where the two coincide)."""
+        df = spark.createDataFrame(
+            [(0, "don't stop, it's 2024!"), (1, "plain words only here")],
+            ["doc_id", "text"],
+        )
+        got = {
+            r.doc_id: (r.ws, r.sub)
+            for r in df.select(
+                "doc_id",
+                T.token_count("text").alias("ws"),
+                T.subword_token_count("text").alias("sub"),
+            ).collect()
+        }
+        assert got[1] == (4, 4)       # no punctuation → identical
+        ws, sub = got[0]
+        assert ws == 4 and sub > ws   # 't / , / 's / ! counted separately
+
+    def test_winnow_shared_substring_shares_fp(self, spark):
+        """Winnowing guarantee: docs sharing a ≥ k+window-1 char
+        substring share ≥1 fingerprint; disjoint docs (different char
+        stream) share none."""
+        common = "the quick brown fox jumps over the lazy dog"
+        df = spark.createDataFrame(
+            [(0, "AAA " + common), (1, common + " BBB"), (2, "zz qq ww ee rr tt yy uu")],
+            ["doc_id", "text"],
+        )
+        fps = {
+            r.doc_id: set(r.f)
+            for r in df.select("doc_id", T.winnow_fingerprints("text").alias("f")).collect()
+        }
+        assert fps[0] & fps[1]          # shared substring → shared fp
+        assert not (fps[0] & fps[2])    # disjoint content → none
+        assert not (fps[1] & fps[2])
+
     def test_lang_id(self, spark, docs):
         got = {r.doc_id: r.l for r in docs.select("doc_id", T.lang_id("text").alias("l")).collect()}
         assert got[0] == "en"
