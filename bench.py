@@ -44,8 +44,13 @@ BENCH_QUERIES = [
     "exact_dedup",
     "doc_quality",
     "doc_langid",
+    "doc_subword_tokens",
+    "winnow_fingerprints",
+    "stats_windows",
     "minhash_neardup",
+    "embedding_neardup",
     "cosine_topk",
+    "ivf_ann_topk",
 ]
 
 CRAWL_DOMAINS = 500

@@ -102,6 +102,35 @@ def test_domain_max_pages_limit(crawled_store):
             assert n <= 3
 
 
+def test_global_page_limit(store, pages):
+    """GLOBAL_PAGE_PER_DOMAIN_LIMIT (settings.py:49,
+    redis_global_page_per_domain_filter.py): a cluster-wide hard cap per
+    (spiderid, domain, crawlid) applied to EVERY crawl regardless of its
+    own domain_max_pages; the feed seed bypasses filters, discovered
+    children count against it."""
+    cfg = EngineConfig(global_page_per_domain_limit=3)
+    feed_requests(
+        store,
+        [{"appid": "testapp", "crawlid": "glob1", "url": "http://site1.com/page/0",
+          "priority": 80, "maxdepth": 3}],
+        cfg,
+    )
+    run_crawl(store, pages, cfg, max_rounds=8)
+    per_domain = (
+        _crawled(store)
+        .filter("crawlid='glob1' AND success = true")
+        .groupBy("domain")
+        .count()
+        .collect()
+    )
+    counts = {r["domain"]: r["count"] for r in per_domain}
+    # 1 bypassing seed + at most limit-1 children that pass pre-insert
+    assert counts["site1.com"] == 3
+    for dom, n in counts.items():
+        if dom != "site1.com":
+            assert n <= 2  # no seed on discovered domains
+
+
 def test_dupefilter_same_crawlid_dedupes(store, pages):
     # docs/topics/crawler/design.rst: same crawlid skips seen URLs,
     # new crawlid recrawls
