@@ -140,11 +140,15 @@ def q_stats_windows(spark, sf):
     build_stats_payload."""
     from scrapy_cluster_spark.operators.stats import _windowed_counts
 
+    # Pin the session tz: the NTZ→LTZ cast below shifts rows by the
+    # SESSION zone — under a DST zone, rows straddling a transition
+    # shift by a different offset than 'now', so window membership near
+    # edges could diverge from the DuckDB epoch() oracle.  UTC (fixed
+    # offset) makes the cast exactly epoch().
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     events = _t(spark, sf, "events")
     # epoch seconds with fraction (double) — DuckDB epoch() equivalent.
-    # ts is TIMESTAMP_NTZ (no direct double cast); NTZ→LTZ uses the
-    # session tz, which shifts 'now' and every row identically, so the
-    # trailing-window comparisons are tz-invariant.
+    # ts is TIMESTAMP_NTZ (no direct double cast)
     ts_sec = F.unix_micros(F.col("ts").cast("timestamp_ltz")) / F.lit(1000000.0)
     now = events.agg(F.max(ts_sec)).collect()[0][0]
     return _windowed_counts(events, ts_sec, now, ["event_type"])

@@ -49,10 +49,13 @@ def fetch_batch(
     two branches — the hits themselves and the anti-join probe that
     derives the misses — cost ONE pages scan instead of two per round
     (round-1 verdict "What's wrong #3").  The caller owns the lifetime:
-    pass ``handles`` and unpersist after materializing downstream."""
+    pass ``handles`` and unpersist after materializing downstream.  With
+    ``handles=None`` nothing is persisted (no owner → no leak; the
+    second pages scan is acceptable for the one-shot test callers)."""
     page_cols = pages.select("url", *_PAGE_COLS)
-    hits = page_cols.join(scheduled, "url", "inner").persist()
+    hits = page_cols.join(scheduled, "url", "inner")
     if handles is not None:
+        hits = hits.persist()
         handles.append(hits)
     missed = scheduled.join(hits.select("url"), "url", "left_anti")
     for name in _PAGE_COLS:

@@ -47,8 +47,18 @@ def _window_dict(row) -> dict:
 
 
 def live_heartbeats(heartbeats: DataFrame, now: float, ttl: int = 120) -> DataFrame:
-    """TTL filter over self-reports: the Redis key-expiry analog."""
-    return heartbeats.filter(F.col("ts") > F.lit(now) - F.lit(ttl))
+    """TTL filter over self-reports: the Redis key-expiry analog.
+
+    Deduped to one row per instance identity (component, host, uuid)
+    keeping the freshest ts — the reference refreshes ONE TTL'd key per
+    spider instance (distributed_scheduler.py:310-320), so an instance
+    that heartbeats every round still counts once even while several of
+    its rows are inside the TTL (spiderid is uuid-determined, grouped
+    through for the spider rollup)."""
+    latest = heartbeats.groupBy("component", "host", "uuid", "spiderid").agg(
+        F.max("ts").alias("ts")
+    )
+    return latest.filter(F.col("ts") > F.lit(now) - F.lit(ttl))
 
 
 # ---------------------------------------------------------------------------
@@ -102,27 +112,52 @@ def appid_info_df(frontier: DataFrame, spiderid: str, appid: str) -> DataFrame:
     )
 
 
-def build_appid_info(frontier: DataFrame, spiderid: str, appid: str) -> dict:
+def build_appid_info(
+    frontier: DataFrame, spiderid: str, appid: str, domains_cap: int = 100
+) -> dict:
     """InfoMonitor._build_appid_info (:81-150): grand totals + per-crawlid
-    {total, distinct domains, per-domain bins}."""
-    bins = appid_info_df(frontier, spiderid, appid).collect()
+    {total, distinct domains, per-domain bins}.
+
+    The per-crawlid domain list is CAPPED at ``domains_cap`` top-backlog
+    domains (window rank before the collect — same driver-OOM guard as
+    the queue stats payload): the reference payload is unbounded, which
+    OOMs the driver at 10⁶ (crawlid, domain) bins.  Totals stay exact
+    (computed as aggregates, not from the capped list); a truncated
+    crawlid carries a ``domains_truncated`` marker."""
+    from pyspark.sql import Window
+
+    bins_df = appid_info_df(frontier, spiderid, appid)
+    per_crawlid = bins_df.groupBy("crawlid").agg(
+        F.sum("total").alias("total"), F.count("*").alias("distinct_domains")
+    ).collect()
+    total_domains = bins_df.agg(F.countDistinct("domain").alias("n")).collect()[0]["n"]
+    w = Window.partitionBy("crawlid").orderBy(F.desc("total"), F.asc("domain"))
+    bins = (
+        bins_df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= domains_cap)
+        .collect()
+    )
     crawlids: dict = {}
+    for c in per_crawlid:
+        crawlids[c["crawlid"]] = {
+            "total": int(c["total"]),
+            "distinct_domains": c["distinct_domains"],
+            "domains": {},
+        }
     for b in bins:
-        c = crawlids.setdefault(
-            b["crawlid"], {"total": 0, "distinct_domains": 0, "domains": {}}
-        )
-        c["total"] += b["total"]
-        c["domains"][b["domain"]] = {
+        crawlids[b["crawlid"]]["domains"][b["domain"]] = {
             "total": b["total"],
             "high_priority": b["high_priority"],
             "low_priority": b["low_priority"],
         }
-        c["distinct_domains"] += 1
+    for c in crawlids.values():
+        if c["distinct_domains"] > len(c["domains"]):
+            c["domains_truncated"] = c["distinct_domains"] - len(c["domains"])
     return {
         "appid": appid,
         "spiderid": spiderid,
         "total_pending": sum(c["total"] for c in crawlids.values()),
-        "total_domains": len({b["domain"] for b in bins}),
+        "total_domains": total_domains,
         "total_crawlids": len(crawlids),
         "crawlids": crawlids,
     }
@@ -261,18 +296,33 @@ def build_stats_payload(frontier: DataFrame, crawled: DataFrame, metrics: DataFr
         return machines
 
     def monitor_part(component: str):
-        rows = _windowed_counts(
-            metrics.filter(F.col("component") == component), F.col("ts"), now, ["kind"]
-        ).collect()
-        totals = (
-            metrics.filter(F.col("component") == component)
-            .groupBy("kind").agg(F.sum("value").alias("total")).collect()
-        )
+        # Counts are VALUE-weighted: one metrics row records n handled
+        # items (feed paths batch), so window sums use sum(value) — the
+        # rolling-counter increment semantics of stats_collector.py.
+        def _value_windows(df, group_col):
+            aggs = [F.sum("value").cast("long").alias("lifetime")] + [
+                F.sum(
+                    F.when(F.col("ts") > F.lit(now) - F.lit(wn), F.col("value")).otherwise(0)
+                ).cast("long").alias(f"w_{wn}")
+                for wn in STATS_TIMES
+            ]
+            return df.groupBy(group_col).agg(*aggs).collect()
+
+        comp = metrics.filter(F.col("component") == component)
+        rows = _value_windows(comp.filter(F.col("plugin").isNull()), "kind")
+        totals = comp.groupBy("kind").agg(F.sum("value").alias("total")).collect()
         tmap = {r["kind"]: r["total"] for r in totals}
-        return {
+        out = {
             r["kind"]: dict(_window_dict(r), total_value=tmap.get(r["kind"]))
             for r in rows
         }
+        # per-plugin fan-out (kafka_monitor.py:189-221 — the reference
+        # keys ``stats:<component>:<PluginName>:<window>`` per handler
+        # plugin)
+        prows = _value_windows(comp.filter(F.col("plugin").isNotNull()), "plugin")
+        if prows:
+            out["plugins"] = {r["plugin"]: _window_dict(r) for r in prows}
+        return out
 
     if which in ("queue", "all"):
         out["queue"] = queue_part()

@@ -48,6 +48,22 @@ def feed_requests(
     jobs = extract_crawl_jobs(valid)
     if not jobs.isEmpty():
         store.append("crawl_jobs", jobs)
+    n_valid, n_invalid = valid.count(), invalid.count()
+    # kafka-monitor ingest stats: overall total/fail plus the
+    # ScraperHandler plugin count (kafka_monitor.py:189-221,289) — the
+    # stats API fans these out per plugin
+    from scrapy_cluster_spark.schemas import METRICS_SCHEMA
+
+    ts = float(round_id * cfg.round_len)
+    base = {"round": None, "component": "kafka-monitor", "plugin": None,
+            "spiderid": None, "status_code": None, "ts": ts}
+    metric_rows = [
+        dict(base, kind="total", value=float(n_valid + n_invalid)),
+        dict(base, kind="total", plugin="ScraperHandler", value=float(n_valid)),
+    ]
+    if n_invalid:
+        metric_rows.append(dict(base, kind="fail", value=float(n_invalid)))
+    store.append_rows("metrics", metric_rows, METRICS_SCHEMA)
     # feeds are lineage events too: a resumed crawl must see state fed
     # AFTER the last scheduling round (resume reads lineage outputs)
     prev = last_lineage(store)
@@ -60,7 +76,7 @@ def feed_requests(
             "outputs": {t: store.current_version(t) for t in STATE_TABLES},
         },
     )
-    return {"valid": valid.count(), "invalid": invalid.count()}
+    return {"valid": n_valid, "invalid": n_invalid}
 
 
 def run_crawl(

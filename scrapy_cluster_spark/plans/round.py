@@ -75,6 +75,12 @@ STATE_TABLES = [
     "domain_config",
     "robots_rules",
     "blooms",
+    # appended after the concurrent writes but BEFORE the lineage commit
+    # — in lineage so crash-resume rollback covers them (a crash between
+    # the heartbeat append and the lineage commit would otherwise leave
+    # duplicate heartbeat/metric rows when the round re-runs)
+    "heartbeats",
+    "metrics",
 ]
 
 
@@ -328,7 +334,9 @@ def run_round(
         {"component": "kafka-monitor", "host": host, "uuid": "engine",
          "spiderid": None, "ts": now},
     ]
-    store.append_rows("heartbeats", hb_rows, HEARTBEATS_SCHEMA, meta={"round": round_id})
+    out_versions["heartbeats"] = store.append_rows(
+        "heartbeats", hb_rows, HEARTBEATS_SCHEMA, meta={"round": round_id}
+    )
     metric_rows = [
         ("queue_depth", float(frontier_depth)),
         ("domains_active", float(n_domains_active)),
@@ -337,10 +345,10 @@ def run_round(
         ("pages_per_sec", float(n_ok / elapsed) if elapsed > 0 else 0.0),
         ("round_wall_sec", float(elapsed)),
     ]
-    store.append_rows(
+    out_versions["metrics"] = store.append_rows(
         "metrics",
         [
-            {"round": round_id, "component": "scheduler", "kind": k,
+            {"round": round_id, "component": "scheduler", "kind": k, "plugin": None,
              "spiderid": None, "status_code": None, "value": v, "ts": now}
             for k, v in metric_rows
         ],

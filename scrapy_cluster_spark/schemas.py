@@ -237,6 +237,11 @@ METRICS_SCHEMA = StructType(
         StructField("round", LongType()),
         StructField("component", StringType()),
         StructField("kind", StringType()),
+        # handler plugin that produced the count — the reference keys
+        # monitor stats per plugin class name
+        # (kafka_monitor.py:189-221 ``stats:kafka-monitor:<Plugin>``);
+        # null for engine-internal round metrics
+        StructField("plugin", StringType()),
         StructField("spiderid", StringType()),
         StructField("status_code", IntegerType()),
         StructField("value", DoubleType()),
