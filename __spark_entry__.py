@@ -123,6 +123,18 @@ def q_exact_unique(spark, sf):
     return li.groupBy("l_returnflag").agg(F.countDistinct("l_orderkey").alias("uniq"))
 
 
+def q_bitmap_unique(spark, sf):
+    """BitMapCounter (stats_collector.py:556-576) as a PHYSICAL bitmap:
+    indexes pack into 64-bit words, bit_or combines map-side, value =
+    Σ popcount — equals COUNT(DISTINCT) by construction (the oracle
+    checks exactly that); shuffle volume is the bitmap size, not the
+    event count."""
+    from scrapy_cluster_spark.operators.stats import bitmap_counter
+
+    li = _t(spark, sf, "lineitem")
+    return bitmap_counter(li, "l_orderkey", ["l_returnflag"])
+
+
 def q_hll_unique(spark, sf):
     """HyperLogLogCounter (stats_collector.py:529-553): approx distinct —
     approximate by design → rows-only check (no oracle)."""
@@ -343,6 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "throttle_trailing_window": q_throttle_trailing_window,
         "queue_stats": q_queue_stats,
         "exact_unique": q_exact_unique,
+        "bitmap_unique": q_bitmap_unique,
         "hll_unique": q_hll_unique,
         "tumbling_window": q_tumbling_window,
         "stats_windows": q_stats_windows,
@@ -452,6 +465,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "exact_unique": """
             SELECT l_returnflag, count(DISTINCT l_orderkey) AS uniq
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "bitmap_unique": """
+            SELECT l_returnflag, count(DISTINCT l_orderkey) AS value
             FROM lineitem GROUP BY l_returnflag
         """,
         "tumbling_window": """

@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "throttle_trailing_window",
     "queue_stats",
     "tumbling_window",
+    "bitmap_unique",
     "exact_dedup",
     "doc_quality",
     "doc_langid",
@@ -165,14 +166,31 @@ def crawl_throughput(spark, n_domains: int | None = None, base_pages: int | None
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def run_queries(spark, sf_dir: str) -> dict:
+def run_queries(spark, sf_dir: str, n_reps: int = 3) -> tuple[dict, dict]:
+    """Per-query wall seconds over ``n_reps`` INTERLEAVED repetitions
+    (the probe's pinned/median protocol, BENCH/BASELINE.md): sub-second
+    single-run deltas on this box are noise, so the headline number per
+    query is the MEDIAN.  Returns (medians, detail)."""
+    import statistics
+
     qs = entrymod.queries()
-    out = {}
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        out[name] = round(time.time() - t0, 3)
-    return out
+    times: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    for _rep in range(n_reps):
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            times[name].append(time.time() - t0)
+        # drop persisted intermediates (minhash shingles, LSH keys) so
+        # reps measure the same cold-cache plan and executor storage
+        # doesn't accumulate across reps
+        spark.catalog.clearCache()
+    medians = {n: round(statistics.median(v), 3) for n, v in times.items()}
+    detail = {
+        n: {"median": medians[n], "n_reps": n_reps,
+            "min": round(min(v), 3), "max": round(max(v), 3)}
+        for n, v in times.items()
+    }
+    return medians, detail
 
 
 def _probe_leg(cores: int, pin_cpus: str | None, n_domains: int, base_pages: int,
@@ -240,7 +258,7 @@ def main() -> None:
     spark = get_spark(app_name="bench", cores=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     warmup(spark)
-    queries = run_queries(spark, sf_dir)
+    queries, query_detail = run_queries(spark, sf_dir)
     crawl = crawl_throughput(spark)
     spark.stop()
 
@@ -248,7 +266,8 @@ def main() -> None:
         "metric": "frontier scheduling throughput (URLs scheduled+deduped/sec)",
         "value": crawl["urls_per_sec"],
         "unit": "urls/sec",
-        "queries": queries,
+        "queries": queries,  # medians over n_reps interleaved runs
+        "queries_detail": query_detail,
         "sf": float(sf),
         "crawl_bench": crawl,
     }

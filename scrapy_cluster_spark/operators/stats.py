@@ -93,6 +93,33 @@ def tumbling_window_counts(events: DataFrame, ts_col: str, window: str,
     return events.groupBy(*keys).agg(F.count("*").alias("value"))
 
 
+def bitmap_counter(events: DataFrame, idx_col: str,
+                   group_cols: list[str] | None = None) -> DataFrame:
+    """BitMapCounter (stats_collector.py:556-576): ``SETBIT key index`` /
+    ``BITCOUNT`` as a PHYSICAL bitmap, not a countDistinct collapse —
+    non-negative indexes pack into 64-bit words (word = idx>>6, bit =
+    idx&63), per-word bits OR-combine MAP-SIDE (bit_or is a partial
+    aggregate, so the shuffle carries ≤ max_idx/64 words per group, not
+    rows), value = Σ popcount(word).  Equals the distinct-index count by
+    construction; at 10¹⁰ events the shuffle volume is the bitmap size,
+    independent of event count."""
+    mask = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({idx_col}, 64) AS INT))"
+    )
+    keys = list(group_cols or [])
+    words = (
+        events.withColumn("_word", F.floor(F.col(idx_col) / 64).cast("long"))
+        .withColumn("_mask", mask)
+        .groupBy(*keys, "_word")
+        .agg(F.bit_or("_mask").alias("_bits"))
+    )
+    agg_keys = [F.col(c) for c in keys]
+    counted = words.withColumn("_n", F.bit_count("_bits"))
+    if agg_keys:
+        return counted.groupBy(*agg_keys).agg(F.sum("_n").alias("value"))
+    return counted.agg(F.sum("_n").alias("value"))
+
+
 # ---------------------------------------------------------------------------
 # frontier rollups (info / queue APIs)
 # ---------------------------------------------------------------------------
