@@ -47,6 +47,13 @@ class EngineConfig:
     use_bloom: bool = False
     bloom_m_bits: int = 1 << 23
     bloom_k: int = 7
+    # Fetch-join miss recovery: False (default) anti-joins the scheduled
+    # batch against the column-pruned pages url scan — nothing
+    # html-bearing is persisted (persisting corpus-sized hits was the
+    # round-2 fetch-phase anti-scaling, operators/fetch.py docstring).
+    # True restores the persist-hits single-scan shape for deployments
+    # where the batch is tiny relative to pages.
+    fetch_persist_hits: bool = False
     # files per append for small state tables: None = let AQE decide
     # (parallel write); small ints keep file counts tiny for long test
     # crawls at the cost of a single-task serial write per append

@@ -114,6 +114,81 @@ def apply_global_page_limit(
     return passed.drop("rn", "prior_count"), deltas
 
 
+def apply_page_limits(
+    candidates: DataFrame, page_counts: DataFrame, global_limit: int | None
+) -> tuple[DataFrame, DataFrame, DataFrame | None]:
+    """Domain + global page caps FUSED into one window pass.
+
+    Semantically identical to ``apply_domain_max_pages`` followed by
+    ``apply_global_page_limit`` (the unit-testable reference pair above;
+    equivalence pinned by tests/test_crawl_e2e.py), but physically one
+    exchange + one sort instead of two: both filters need the same
+    deterministic processing order, so the per-filter "requests that
+    reached me" counters become running sums over ONE window frame —
+    ``drn`` counts limited rows (the domain filter only processes rows
+    carrying ``domain_max_pages``), ``grn`` counts domain-surviving rows
+    (the reference chain applies the global filter after the domain one,
+    redis_global_page_per_domain_filter.py:41-68).  page_counts is read
+    once (kind pivoted in a single grouped agg, was two scans)."""
+    counts = page_counts.groupBy(*PAGE_COUNT_KEY).agg(
+        F.sum(F.when(F.col("kind") == "domain", F.col("count"))).alias("_pd"),
+        F.sum(F.when(F.col("kind") == "global", F.col("count"))).alias("_pg"),
+    )
+    w = _rank_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    has_dlim = F.col("domain_max_pages").isNotNull() & (F.col("domain_max_pages") > 0)
+    ranked = (
+        candidates.join(counts, PAGE_COUNT_KEY, "left")
+        .withColumn("_pd", F.coalesce("_pd", F.lit(0)))
+        .withColumn("_pg", F.coalesce("_pg", F.lit(0)))
+        .withColumn("_drn", F.sum(has_dlim.cast("long")).over(w))
+        .withColumn(
+            "_dpass",
+            ~has_dlim | (F.col("_pd") + F.col("_drn") < F.col("domain_max_pages")),
+        )
+    )
+    domain_deltas = (
+        ranked.filter(has_dlim)
+        .groupBy(*PAGE_COUNT_KEY)
+        .agg(
+            F.count("*").alias("processed"),
+            F.max("_pd").alias("prior"),
+            F.max("domain_max_pages").alias("limit"),
+        )
+        .select(
+            *PAGE_COUNT_KEY,
+            F.lit("domain").alias("kind"),
+            F.least(F.col("processed"), F.greatest(F.col("limit") - F.col("prior"), F.lit(0)))
+            .cast("long")
+            .alias("count"),
+        )
+        .filter(F.col("count") > 0)
+    )
+    global_deltas = None
+    if global_limit:
+        ranked = ranked.withColumn("_grn", F.sum(F.col("_dpass").cast("long")).over(w))
+        keep = F.col("_dpass") & (F.col("_pg") + F.col("_grn") < F.lit(global_limit))
+        global_deltas = (
+            ranked.filter(F.col("_dpass"))
+            .groupBy(*PAGE_COUNT_KEY)
+            .agg(F.count("*").alias("processed"), F.max("_pg").alias("prior"))
+            .select(
+                *PAGE_COUNT_KEY,
+                F.lit("global").alias("kind"),
+                F.least(
+                    F.col("processed"),
+                    F.greatest(F.lit(global_limit) - F.col("prior"), F.lit(0)),
+                )
+                .cast("long")
+                .alias("count"),
+            )
+            .filter(F.col("count") > 0)
+        )
+    else:
+        keep = F.col("_dpass")
+    passed = ranked.filter(keep).drop("_pd", "_pg", "_drn", "_dpass", "_grn")
+    return passed, domain_deltas, global_deltas
+
+
 def apply_blacklist(candidates: DataFrame, blacklist: DataFrame) -> DataFrame:
     """Anti-join vs the (spiderid, appid, crawlid) blacklist — the
     ``"{appid}||{crawlid}" ∈ <sid>:blacklist`` member check

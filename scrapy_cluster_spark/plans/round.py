@@ -172,7 +172,10 @@ def run_round(
     # serial cost per round at high core counts)
     fetch_handles: list = []
     items = fetch.assemble_items(
-        fetch.fetch_batch(scheduled, pages, handles=fetch_handles),
+        fetch.fetch_batch(
+            scheduled, pages, handles=fetch_handles,
+            persist_hits=cfg.fetch_persist_hits,
+        ),
         round_id,
         cfg.round_len,
     ).persist()
@@ -188,9 +191,8 @@ def run_round(
     retries = parse.retry_candidates(items, cfg).select(*[f.name for f in FRONTIER_SCHEMA.fields])
     enqueue_in = passed_dupe.unionByName(retries).persist()
 
-    after_domain_cap, domain_deltas = limits.apply_domain_max_pages(enqueue_in, page_counts)
-    after_global_cap, global_deltas = limits.apply_global_page_limit(
-        after_domain_cap, page_counts, cfg.global_page_per_domain_limit
+    after_global_cap, domain_deltas, global_deltas = limits.apply_page_limits(
+        enqueue_in, page_counts, cfg.global_page_per_domain_limit
     )
     accepted = limits.apply_blacklist(after_global_cap, blacklist)
     accepted = limits.apply_expiry(accepted, now)

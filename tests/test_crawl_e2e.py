@@ -244,3 +244,52 @@ def test_byte_identical_text_extraction(crawled_store, pages):
     )
     assert joined.filter(F.col("extracted") != F.col("text")).count() == 0
     assert joined.count() > 0
+
+
+def test_fused_page_limits_equal_chained(spark):
+    """apply_page_limits (one window pass, round-3 serial-floor fusion)
+    is row-identical to the chained reference pair
+    apply_domain_max_pages → apply_global_page_limit, including both
+    delta tables, on a mixed corpus (limited/unlimited rows, non-zero
+    priors, both caps binding)."""
+    import random
+
+    from scrapy_cluster_spark.operators import limits
+    from scrapy_cluster_spark.plans.round import PAGE_COUNTS_SCHEMA
+
+    rng = random.Random(5)
+    rows = []
+    for d in range(6):
+        dlim = [None, 0, 4, 7][d % 4]
+        for j in range(12):
+            rows.append((
+                "link", f"c{d % 2}", f"dom{d}.com", f"http://dom{d}.com/p/{j}",
+                rng.randint(1, 100), dlim, 0,
+            ))
+    cand = spark.createDataFrame(
+        rows,
+        "spiderid string, crawlid string, domain string, url string, "
+        "priority int, domain_max_pages int, retry_times int",
+    )
+    pc = spark.createDataFrame(
+        [("link", "c0", "dom2.com", "domain", 2),
+         ("link", "c0", "dom2.com", "global", 1),
+         ("link", "c1", "dom3.com", "global", 3)],
+        PAGE_COUNTS_SCHEMA,
+    )
+    glim = 6
+
+    a1, d1 = limits.apply_domain_max_pages(cand, pc)
+    a2, g1 = limits.apply_global_page_limit(a1, pc, glim)
+    fused, d2, g2 = limits.apply_page_limits(cand, pc, glim)
+
+    key = lambda r: (r["spiderid"], r["crawlid"], r["domain"], r["url"])
+    assert sorted(map(key, a2.collect())) == sorted(map(key, fused.collect()))
+    dk = lambda r: tuple(r)
+    assert sorted(map(dk, d1.collect())) == sorted(map(dk, d2.collect()))
+    assert sorted(map(dk, g1.collect())) == sorted(map(dk, g2.collect()))
+    # no-global-limit path: deltas None, same survivors
+    a1b, _ = limits.apply_domain_max_pages(cand, pc)
+    fb, _, gb = limits.apply_page_limits(cand, pc, None)
+    assert gb is None
+    assert sorted(map(key, a1b.collect())) == sorted(map(key, fb.collect()))
