@@ -144,5 +144,32 @@ def assemble_items(fetched: DataFrame, round_id: int, cfg_round_len: int) -> Dat
     return out
 
 
+# Payload columns a round's persisted intermediate must NOT carry:
+# body duplicates html, and html/text are page-table payload — caching
+# them is what made the items persist anti-scale (round-3 phase
+# profile: items 66.7 s @4c → 89.0 s @16c with the full persist;
+# the slim persist keeps extraction output + meta only).
+PAYLOAD_COLS = ["body", "html", "text", "lang", "warc_ts"]
+
+
+def slim_items(items: DataFrame) -> DataFrame:
+    """Items minus page payload — everything children/retries/stats
+    need (links_full, success, frontier meta, headers), none of the
+    binary.  The crawled append re-attaches body via ``attach_body``."""
+    return items.drop(*PAYLOAD_COLS)
+
+
+def attach_body(slim: DataFrame, pages: DataFrame) -> DataFrame:
+    """Re-attach the response body for the crawled table: a left join
+    back to pages on url (hits get html, misses stay null — a url
+    matches pages iff the fetch succeeded).  Keeps the persisted
+    intermediate binary-free at the cost of re-reading the html column
+    at append time — cheaper than caching GBs of binary for the round's
+    lifetime (measured, see slim_items)."""
+    return slim.join(
+        pages.select("url", F.col("html").alias("body")), "url", "left"
+    )
+
+
 def project_crawled(items: DataFrame) -> DataFrame:
     return items.select(*[f.name for f in CRAWLED_SCHEMA.fields])

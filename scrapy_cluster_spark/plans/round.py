@@ -170,14 +170,20 @@ def run_round(
     # from the parquet footers of the committed deltas — each count()
     # is a full Spark job whose driver-side planning is the dominant
     # serial cost per round at high core counts)
+    # items are persisted SLIM (extraction output + meta, no page
+    # payload): caching body/html was the 4→16-core anti-scaling of
+    # rounds 1-2 (operators/fetch.py PAYLOAD_COLS note); the crawled
+    # append re-attaches body from pages
     fetch_handles: list = []
-    items = fetch.assemble_items(
-        fetch.fetch_batch(
-            scheduled, pages, handles=fetch_handles,
-            persist_hits=cfg.fetch_persist_hits,
-        ),
-        round_id,
-        cfg.round_len,
+    items = fetch.slim_items(
+        fetch.assemble_items(
+            fetch.fetch_batch(
+                scheduled, pages, handles=fetch_handles,
+                persist_hits=cfg.fetch_persist_hits,
+            ),
+            round_id,
+            cfg.round_len,
+        )
     ).persist()
 
     # ---- discovered children + retries → enqueue filter chain
@@ -250,7 +256,9 @@ def run_round(
         # comes free from footers
         "crawled": lambda: store.append(
             "crawled",
-            fetch.project_crawled(items).withColumn("ok", F.col("success")),
+            fetch.project_crawled(fetch.attach_body(items, pages)).withColumn(
+                "ok", F.col("success")
+            ),
             partition_by=["ok"],
             repartition=False,
             meta={"round": round_id},
