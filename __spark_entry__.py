@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from scrapy_cluster_spark.functions import dedup as D
+from scrapy_cluster_spark.functions import graph as G
 from scrapy_cluster_spark.functions import multimodal as M
 from scrapy_cluster_spark.functions import text as T
 from scrapy_cluster_spark.functions import vectors as V
@@ -233,6 +234,49 @@ def q_winnow_fingerprints(spark, sf):
     )
 
 
+def q_doc_repetition(spark, sf):
+    """Within-document duplicated-3-gram fraction (Gopher repetition
+    signal) — JVM higher-order functions only."""
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", T.ngram_repetition("text").alias("rep3"))
+
+
+def q_pii_scrub(spark, sf):
+    """PII pass: email/phone counts + md5 of the redacted text — the
+    scrub is pure regexp_replace (codegen'd, scan-speed at 100 TB)."""
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        T.pii_email_count("text").alias("n_emails"),
+        T.pii_phone_count("text").alias("n_phones"),
+        F.md5(T.scrub_pii("text")).alias("scrubbed_fp"),
+    )
+
+
+def q_gopher_rules(spark, sf):
+    """Gopher-style corpus-filter rules (Rae et al. 2021 §A.1.1 public
+    thresholds) as per-doc booleans + the conjunction."""
+    docs = _t(spark, sf, "documents")
+    flags = T.gopher_quality_flags("text")
+    return docs.select(
+        "doc_id", *[c.alias(name) for name, c in flags.items()]
+    )
+
+
+def q_neardup_clusters(spark, sf):
+    """Transitive near-dup clustering: MinHash+LSH pairs (the scale
+    path — banded candidates + exact-Jaccard verify, itself oracled
+    equal to the all-pairs join) → connected components (min-label
+    propagation to fixpoint) → (doc_id, cluster_id, is_canonical).
+    The oracle computes the closure of the ALL-PAIRS graph with a
+    recursive CTE — the iterative Spark loop over LSH edges is
+    hash-checked against it, so both the pair recall AND the clustering
+    are verified end-to-end."""
+    docs = _t(spark, sf, "documents")
+    pairs = D.minhash_neardup_pairs(docs, threshold=0.5).select("a", "b")
+    return G.neardup_clusters(docs.select("doc_id"), pairs)
+
+
 def q_exact_dedup(spark, sf):
     docs = _t(spark, sf, "documents")
     return (
@@ -364,8 +408,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
         "doc_subword_tokens": q_doc_subword_tokens,
+        "doc_repetition": q_doc_repetition,
+        "pii_scrub": q_pii_scrub,
+        "gopher_rules": q_gopher_rules,
         "winnow_fingerprints": q_winnow_fingerprints,
         "exact_dedup": q_exact_dedup,
+        "neardup_clusters": q_neardup_clusters,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_neardup": q_minhash_neardup,
         "simhash_buckets": q_simhash_buckets,
@@ -565,6 +613,81 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
                    min(doc_id) AS keep_id, count(*) AS n_dups
             FROM documents GROUP BY 1
+        """,
+        "doc_repetition": r"""
+            WITH words AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) < 3 THEN []::VARCHAR[]
+                          ELSE list_transform(generate_series(1, len(w) - 2),
+                                              i -> array_to_string(w[i:i+2], ' '))
+                     END AS gr
+              FROM words
+            )
+            SELECT doc_id,
+                   CASE WHEN len(gr) <= 0 THEN CAST(0.0 AS DOUBLE)
+                        ELSE round(1.0 - len(list_distinct(gr)) / len(gr), 6)
+                   END AS rep3
+            FROM grams
+        """,
+        "pii_scrub": (
+            "SELECT doc_id, "
+            f"len(regexp_extract_all(text, '{T.EMAIL_PATTERN}')) AS n_emails, "
+            f"len(regexp_extract_all(text, '{T.PHONE_PATTERN}')) AS n_phones, "
+            f"md5(regexp_replace(regexp_replace(text, '{T.EMAIL_PATTERN}', '[PII]', 'g'), "
+            f"'{T.PHONE_PATTERN}', '[PII]', 'g')) AS scrubbed_fp "
+            "FROM documents"
+        ),
+        "gopher_rules": f"""
+            WITH words AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) < 3 THEN []::VARCHAR[]
+                          ELSE list_transform(generate_series(1, len(w) - 2),
+                                              i -> array_to_string(w[i:i+2], ' '))
+                     END AS gr
+              FROM words
+            ), base AS (
+              SELECT wo.doc_id,
+                     len(w) AS n,
+                     round(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                           / greatest(len(w), 1), 6) AS mwl,
+                     round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                           / greatest(len(w), 1), 6) AS alpha,
+                     len(list_distinct(list_filter(list_transform(w, x -> lower(x)),
+                                                   x -> list_contains({_EN}, x)))) AS stop_hits,
+                     CASE WHEN len(gr) <= 0 THEN CAST(0.0 AS DOUBLE)
+                          ELSE round(1.0 - len(list_distinct(gr)) / len(gr), 6)
+                     END AS rep
+              FROM words wo JOIN grams USING (doc_id)
+            )
+            SELECT doc_id,
+                   n BETWEEN 50 AND 100000 AS words_ok,
+                   mwl BETWEEN 3.0 AND 10.0 AS word_len_ok,
+                   alpha >= 0.8 AS alpha_ok,
+                   stop_hits >= 2 AS stopword_ok,
+                   rep <= 0.2 AS repetition_ok,
+                   (n BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+                     AND alpha >= 0.8 AND stop_hits >= 2 AND rep <= 0.2 AS passes
+            FROM base
+        """,
+        "neardup_clusters": "WITH RECURSIVE " + _SHINGLE_CTE + """,
+            jp AS (
+              SELECT a, b FROM inter
+              JOIN sizes na ON a = na.doc_id
+              JOIN sizes nb ON b = nb.doc_id
+              WHERE i / (na.n + nb.n - i) >= 0.5
+            ),
+            e AS (SELECT a AS s, b AS d FROM jp UNION ALL SELECT b AS s, a AS d FROM jp),
+            reach(id, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.s, re.r FROM e JOIN reach re ON e.d = re.id
+            )
+            SELECT id AS doc_id, min(r) AS cluster_id, min(r) = id AS is_canonical
+            FROM reach GROUP BY id
         """,
         "ngram_jaccard_pairs": _JACCARD_SQL,
         "minhash_neardup": _JACCARD_SQL,

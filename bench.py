@@ -46,7 +46,11 @@ BENCH_QUERIES = [
     "doc_quality",
     "doc_langid",
     "doc_subword_tokens",
+    "doc_repetition",
+    "pii_scrub",
+    "gopher_rules",
     "winnow_fingerprints",
+    "neardup_clusters",
     "stats_windows",
     "minhash_neardup",
     "embedding_neardup",

@@ -114,6 +114,103 @@ def doc_fingerprint(text: str | Column = "text") -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
 
 
+def word_ngrams(text: str | Column = "text", k: int = 3) -> Column:
+    """ALL word k-grams in order (with repeats — unlike word_shingles'
+    distinct set); empty for <k tokens (same sequence guard)."""
+    w = tokens(text)
+    return F.when(F.size(w) < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+        )
+    )
+
+
+def ngram_repetition(text: str | Column = "text", k: int = 3) -> Column:
+    """Duplicated k-gram fraction — the within-document repetition
+    signal LLM corpus filters use (Rae et al. Gopher §A.1.1, public):
+    1 − distinct/total over word k-grams; 0.0 when fewer than k tokens.
+    Pure JVM higher-order functions — scan speed."""
+    g = word_ngrams(text, k)
+    return F.when(F.size(g) <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g), 6
+        )
+    )
+
+
+# PII patterns restricted to the Java-regex ∩ RE2 common subset so the
+# Spark expressions and DuckDB oracles match character-for-character.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def pii_email_count(text: str | Column = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(EMAIL_PATTERN))
+
+
+def pii_phone_count(text: str | Column = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(PHONE_PATTERN))
+
+
+def scrub_pii(text: str | Column = "text", repl: str = "[PII]") -> Column:
+    """Redact emails then phone numbers — the pre-training scrub pass.
+    regexp_replace is JVM codegen'd: the scrub runs at scan speed over
+    100 TB with no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(
+        F.regexp_replace(c, EMAIL_PATTERN, repl), PHONE_PATTERN, repl
+    )
+
+
+def mean_word_length(text: str | Column = "text") -> Column:
+    w = tokens(text)
+    total = F.aggregate(
+        F.transform(w, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    )
+    return F.round(total / F.greatest(F.size(w), F.lit(1)), 6)
+
+
+def alpha_word_ratio(text: str | Column = "text") -> Column:
+    """Fraction of words containing ≥1 alphabetic char (Gopher rule)."""
+    w = tokens(text)
+    hits = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+    return F.round(hits / F.greatest(F.size(w), F.lit(1)), 6)
+
+
+def gopher_quality_flags(text: str | Column = "text") -> dict[str, Column]:
+    """Gopher-style corpus-filter rules (Rae et al. 2021 §A.1.1 —
+    public thresholds), each as a boolean column:
+
+      words_ok      50 ≤ #words ≤ 100,000
+      word_len_ok   3 ≤ mean word length ≤ 10
+      alpha_ok      ≥ 80% of words contain an alphabetic character
+      stopword_ok   ≥ 2 distinct common-stopword hits
+      repetition_ok duplicated 3-gram fraction ≤ 0.2
+
+    All built-in SQL; ``passes`` is their conjunction."""
+    n = token_count(text)
+    mwl = mean_word_length(text)
+    t = F.transform(tokens(text), lambda w: F.lower(w))
+    stop_hits = F.size(
+        F.array_distinct(F.filter(t, lambda w: w.isin(LANG_STOPWORDS["en"])))
+    )
+    flags = {
+        "words_ok": (n >= 50) & (n <= 100_000),
+        "word_len_ok": (mwl >= 3.0) & (mwl <= 10.0),
+        "alpha_ok": alpha_word_ratio(text) >= 0.8,
+        "stopword_ok": stop_hits >= 2,
+        "repetition_ok": ngram_repetition(text) <= 0.2,
+    }
+    passes = None
+    for c in flags.values():
+        passes = c if passes is None else (passes & c)
+    flags["passes"] = passes
+    return flags
+
+
 # GPT-2-style pre-tokenizer pattern (public: the openai/gpt-2 encoder
 # regex), restricted to the common subset of Java regex (Spark) and RE2
 # (DuckDB): contraction suffixes, letter runs, digit runs, punctuation

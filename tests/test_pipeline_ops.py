@@ -345,3 +345,86 @@ class TestLSHScaling:
             emb, threshold=0.45, n_tables=8, max_bucket_rows=16
         ).count()
         assert 0 < capped < full
+
+
+class TestGraphClustering:
+    def test_connected_components_shapes(self, spark):
+        """Chain (0-1-2-3), clique (10,11,12), isolated (20): min-label
+        propagation converges to the component minimum for every shape,
+        including the diameter-3 chain (fixpoint loop, not one hop)."""
+        from scrapy_cluster_spark.functions import graph as G
+
+        verts = spark.createDataFrame([(i,) for i in [0, 1, 2, 3, 10, 11, 12, 20]], ["id"])
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (10, 12)], ["a", "b"]
+        )
+        got = {r.id: r.component for r in G.connected_components(verts, edges).collect()}
+        assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 12: 10, 20: 20}
+
+    def test_neardup_clusters_canonical(self, spark, docs):
+        """Docs 0/1/2 are exact+near dups (jaccard ≥ 0.5) → one cluster
+        keeping the lowest id; everything else is its own canonical."""
+        from scrapy_cluster_spark.functions import dedup as D
+        from scrapy_cluster_spark.functions import graph as G
+
+        pairs = D.exact_jaccard_pairs(docs, threshold=0.5).select("a", "b")
+        out = {r.doc_id: (r.cluster_id, r.is_canonical)
+               for r in G.neardup_clusters(docs.select("doc_id"), pairs).collect()}
+        assert out[0] == (0, True)
+        assert out[1] == (0, False)
+        assert out[2] == (0, False)
+        assert out[3] == (3, True)
+        n_canonical = sum(1 for _, c in out.items() if c[1])
+        assert n_canonical == len(out) - 2  # 9 docs, 2 folded away
+
+
+class TestTextFilters:
+    def test_pii_scrub(self, spark):
+        from scrapy_cluster_spark.functions import text as T
+
+        df = spark.createDataFrame(
+            [(0, "mail me at jane.doe+x@example.co.uk or call 555-123-4567 now"),
+             (1, "no pii here")],
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id: r for r in df.select(
+            "doc_id",
+            T.pii_email_count("text").alias("e"),
+            T.pii_phone_count("text").alias("p"),
+            T.scrub_pii("text").alias("s"),
+        ).collect()}
+        assert (got[0].e, got[0].p) == (1, 1)
+        assert got[0].s == "mail me at [PII] or call [PII] now"
+        assert (got[1].e, got[1].p) == (0, 0) and got[1].s == "no pii here"
+
+    def test_ngram_repetition(self, spark):
+        from scrapy_cluster_spark.functions import text as T
+
+        df = spark.createDataFrame(
+            [(0, "a b c a b c a b c"),   # 7 grams, 3 distinct
+             (1, "all words unique in this one"),
+             (2, "xy")],                  # <3 tokens → 0.0
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id: r.rep for r in df.select(
+            "doc_id", T.ngram_repetition("text").alias("rep")).collect()}
+        assert abs(got[0] - round(1 - 3 / 7, 6)) < 1e-9
+        assert got[1] == 0.0
+        assert got[2] == 0.0
+
+    def test_gopher_flags(self, spark):
+        from scrapy_cluster_spark.functions import text as T
+
+        long_good = " ".join(
+            f"the quick{i} brown{i} fox{i} and" for i in range(20)
+        )  # 100 words, varied 3-grams, stopwords, alpha
+        too_short = "tiny doc"
+        repeaty = "spam ham jam " * 60                              # heavy 3-gram repeats
+        df = spark.createDataFrame(
+            [(0, long_good), (1, too_short), (2, repeaty)], ["doc_id", "text"]
+        )
+        flags = T.gopher_quality_flags("text")
+        got = {r.doc_id: r for r in df.select("doc_id", *[c.alias(n) for n, c in flags.items()]).collect()}
+        assert got[0].passes
+        assert not got[1].words_ok and not got[1].passes
+        assert not got[2].repetition_ok and not got[2].passes
