@@ -144,31 +144,26 @@ def assemble_items(fetched: DataFrame, round_id: int, cfg_round_len: int) -> Dat
     return out
 
 
-# Payload columns a round's persisted intermediate must NOT carry:
-# body duplicates html, and html/text are page-table payload — caching
-# them is what made the items persist anti-scale (round-3 phase
-# profile: items 66.7 s @4c → 89.0 s @16c with the full persist;
-# the slim persist keeps extraction output + meta only).
-PAYLOAD_COLS = ["body", "html", "text", "lang", "warc_ts"]
+# Page-payload columns the round must NOT duplicate into its
+# materialized intermediate: html/text/lang/warc_ts are page-table
+# payload and body is already their single kept copy.  Round-3 phase
+# profiling showed CACHING any of this in the block manager is the
+# 4→16-core anti-scaling (items 66.7 s @4c → 89.0 s @16c with the full
+# persist); the fix is write-through materialization (plans/round.py):
+# the assembled items stream ONCE into the crawled table's parquet
+# files (body kept, html/text dropped) and every other consumer
+# re-reads those files with column pruning — no executor-storage copy
+# of binary exists at any point.
+PAYLOAD_DUP_COLS = ["html", "text", "lang", "warc_ts"]
 
 
-def slim_items(items: DataFrame) -> DataFrame:
-    """Items minus page payload — everything children/retries/stats
-    need (links_full, success, frontier meta, headers), none of the
-    binary.  The crawled append re-attaches body via ``attach_body``."""
-    return items.drop(*PAYLOAD_COLS)
-
-
-def attach_body(slim: DataFrame, pages: DataFrame) -> DataFrame:
-    """Re-attach the response body for the crawled table: a left join
-    back to pages on url (hits get html, misses stay null — a url
-    matches pages iff the fetch succeeded).  Keeps the persisted
-    intermediate binary-free at the cost of re-reading the html column
-    at append time — cheaper than caching GBs of binary for the round's
-    lifetime (measured, see slim_items)."""
-    return slim.join(
-        pages.select("url", F.col("html").alias("body")), "url", "left"
-    )
+def wide_items(items: DataFrame) -> DataFrame:
+    """Items with the page-payload duplicates dropped (body stays) —
+    the round's write-through materialization shape: a superset of
+    CRAWLED_SCHEMA that also carries the scheduler meta
+    (links_full/maxdepth/filters/retry fields) children and retries
+    need when re-reading the written files."""
+    return items.drop(*PAYLOAD_DUP_COLS)
 
 
 def project_crawled(items: DataFrame) -> DataFrame:

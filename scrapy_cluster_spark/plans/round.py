@@ -170,12 +170,20 @@ def run_round(
     # from the parquet footers of the committed deltas — each count()
     # is a full Spark job whose driver-side planning is the dominant
     # serial cost per round at high core counts)
-    # items are persisted SLIM (extraction output + meta, no page
-    # payload): caching body/html was the 4→16-core anti-scaling of
-    # rounds 1-2 (operators/fetch.py PAYLOAD_COLS note); the crawled
-    # append re-attaches body from pages
+    # ---- write-through materialization of the per-URL work: the
+    # assembled items (fetch join + link/text extraction) stream ONCE
+    # into the crawled table's parquet files — body kept, page-payload
+    # duplicates dropped (fetch.py PAYLOAD_DUP_COLS), extra scheduler
+    # meta (links_full/filters/retry fields) written alongside so
+    # children/retries re-read the SAME files with column pruning.
+    # Caching any body/links-bearing intermediate in the block manager
+    # was the 4→16-core anti-scaling of rounds 1-2 (BENCH/BASELINE.md
+    # round-3 section); a streamed write + pruned re-read has no
+    # executor-storage footprint at all.  CRAWLED_SCHEMA readers
+    # project the narrower parity shape from the same files.
+    out_versions = dict(pins)
     fetch_handles: list = []
-    items = fetch.slim_items(
+    items_wide = fetch.wide_items(
         fetch.assemble_items(
             fetch.fetch_batch(
                 scheduled, pages, handles=fetch_handles,
@@ -184,6 +192,36 @@ def run_round(
             round_id,
             cfg.round_len,
         )
+    ).withColumn("ok", F.col("success"))
+    _t_crawled = time.time()
+    _pre_crawled_files = set(store.files("crawled"))
+    out_versions["crawled"] = store.append(
+        "crawled", items_wide, partition_by=["ok"], repartition=False,
+        meta={"round": round_id},
+    )
+    _crawled_write_sec = round(time.time() - _t_crawled, 2)
+    wide_schema = StructType(
+        [f for f in items_wide.schema.fields if f.name != "ok"]
+    )
+    _crawled_delta = [
+        f
+        for f in store.files("crawled", out_versions["crawled"])
+        if f not in _pre_crawled_files
+    ]
+    items_files = (
+        store.spark.read.schema(wide_schema).parquet(*_crawled_delta)
+        if _crawled_delta
+        else store.spark.createDataFrame([], wide_schema)
+    )
+    # hot projection for the two downstream consumers (children explode
+    # + retries): populated FROM the written files (no recompute of the
+    # extraction), body/response columns excluded — the cache holds
+    # links_full + scheduler meta only, which measured scale-safe
+    # (nested-parquet re-decoding cost children ~+10 s @16c without it)
+    items = items_files.drop(
+        "body", "links", "response_url", "status_msg", "exception",
+        "response_headers", "request_headers", "encoding", "timestamp",
+        "status_code",
     ).persist()
 
     # ---- discovered children + retries → enqueue filter chain
@@ -215,7 +253,7 @@ def run_round(
     # these, the write threads race to compute overlapping uncached
     # lineages (cache-population lock contention + duplicated UDF work:
     # measured 146 s concurrent vs 86 s stepwise on the 1.45M-page
-    # probe round).  Four count() jobs on cached plans cost ~0.2-0.5 s
+    # probe round).  count() jobs on cached plans cost ~0.2-0.5 s
     # each of driver planning — noise next to the contention they avoid.
     for _df in (scheduled, items, children, enqueue_in):
         _df.count()
@@ -249,20 +287,9 @@ def run_round(
             meta={"round": round_id},
             coalesce=cfg.append_coalesce,
         ),
-        # crawled rows carry full html bodies — parallel write, never 1
-        # task.  'ok' duplicates 'success' as the partition dir
-        # (partition columns are stripped from data files; schema-pinned
-        # file reads would see null success otherwise) so pages_crawled
-        # comes free from footers
-        "crawled": lambda: store.append(
-            "crawled",
-            fetch.project_crawled(fetch.attach_body(items, pages)).withColumn(
-                "ok", F.col("success")
-            ),
-            partition_by=["ok"],
-            repartition=False,
-            meta={"round": round_id},
-        ),
+        # (crawled was already written above — the write-through
+        # materialization; 'ok' duplicates 'success' as the partition
+        # dir so pages_crawled comes free from footers)
         "fetch_log": lambda: store.append(
             "fetch_log",
             scheduled.select(
@@ -304,7 +331,8 @@ def run_round(
 
         return run
 
-    out_versions = dict(pins)
+    if profile is not None:
+        profile["write_crawled_sec"] = _crawled_write_sec
     t_writes = time.time()
     with ThreadPoolExecutor(max_workers=len(writes)) as ex:
         futures = {t: ex.submit(_timed(t, fn)) for t, fn in writes.items()}
