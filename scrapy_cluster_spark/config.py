@@ -54,6 +54,14 @@ class EngineConfig:
     # True restores the persist-hits single-scan shape for deployments
     # where the batch is tiny relative to pages.
     fetch_persist_hits: bool = False
+    # Adaptive item materialization (plans/round.py): batches at or
+    # above this row count stream straight into the crawled table's
+    # files (write-through — no binary in the block manager, the
+    # 4→16-core fix); smaller batches cache items and append crawled
+    # concurrently (the write-through round-trip is pure fixed latency
+    # at small sizes).  Like a broadcast threshold, decided per round
+    # from the actual batch count.
+    write_through_min_batch: int = 200_000
     # files per append for small state tables: None = let AQE decide
     # (parallel write); small ints keep file counts tiny for long test
     # crawls at the cost of a single-task serial write per append

@@ -165,64 +165,82 @@ def run_round(
     )
     scheduled = throttle.assign_slots(scheduled, round_id, cfg).persist()
 
-    # ---- fetch + items
-    # (no count() actions here: every round stat is derived afterwards
-    # from the parquet footers of the committed deltas — each count()
-    # is a full Spark job whose driver-side planning is the dominant
-    # serial cost per round at high core counts)
-    # ---- write-through materialization of the per-URL work: the
-    # assembled items (fetch join + link/text extraction) stream ONCE
-    # into the crawled table's parquet files — body kept, page-payload
-    # duplicates dropped (fetch.py PAYLOAD_DUP_COLS), extra scheduler
-    # meta (links_full/filters/retry fields) written alongside so
-    # children/retries re-read the SAME files with column pruning.
-    # Caching any body/links-bearing intermediate in the block manager
-    # was the 4→16-core anti-scaling of rounds 1-2 (BENCH/BASELINE.md
-    # round-3 section); a streamed write + pruned re-read has no
-    # executor-storage footprint at all.  CRAWLED_SCHEMA readers
-    # project the narrower parity shape from the same files.
+    # ---- fetch + items: ADAPTIVE materialization (the trade-off is
+    # batch-size-dependent, like a broadcast threshold):
+    #
+    # LARGE batches (≥ cfg.write_through_min_batch rows) write through:
+    # the assembled items (fetch join + link/text extraction) stream
+    # ONCE into the crawled table's parquet files — body kept,
+    # page-payload duplicates dropped (fetch.py PAYLOAD_DUP_COLS),
+    # extra scheduler meta (links_full/filters/retry fields) written
+    # alongside so children/retries re-read the SAME files through a
+    # binary-free hot cache.  Caching any body/links-bearing
+    # intermediate in the block manager was the 4→16-core anti-scaling
+    # of rounds 1-2 (BENCH/BASELINE.md round 3): GBs pushed through
+    # executor storage contend with execution memory exactly when
+    # thread count raises demand.  CRAWLED_SCHEMA readers project the
+    # narrower parity shape from the same wide files.
+    #
+    # SMALL batches cache the assembled items directly (a few MB of
+    # block-manager storage is harmless) and the crawled append joins
+    # the concurrent write pool — the write-through round-trip
+    # (write job + file re-read) is pure fixed latency there (measured
+    # +10-20 s/round on a 33k-row bench round at local[32]).
     out_versions = dict(pins)
     fetch_handles: list = []
-    items_wide = fetch.wide_items(
-        fetch.assemble_items(
-            fetch.fetch_batch(
-                scheduled, pages, handles=fetch_handles,
-                persist_hits=cfg.fetch_persist_hits,
-            ),
-            round_id,
-            cfg.round_len,
+    items_full = fetch.assemble_items(
+        fetch.fetch_batch(
+            scheduled, pages, handles=fetch_handles,
+            persist_hits=cfg.fetch_persist_hits,
+        ),
+        round_id,
+        cfg.round_len,
+    )
+    n_batch = scheduled.count()  # the barrier count, moved up to steer
+    write_through = n_batch >= cfg.write_through_min_batch
+    crawled_write = None
+    _crawled_write_sec = 0.0
+    if write_through:
+        items_wide = fetch.wide_items(items_full).withColumn("ok", F.col("success"))
+        _t_crawled = time.time()
+        _pre_crawled_files = set(store.files("crawled"))
+        out_versions["crawled"] = store.append(
+            "crawled", items_wide, partition_by=["ok"], repartition=False,
+            meta={"round": round_id},
         )
-    ).withColumn("ok", F.col("success"))
-    _t_crawled = time.time()
-    _pre_crawled_files = set(store.files("crawled"))
-    out_versions["crawled"] = store.append(
-        "crawled", items_wide, partition_by=["ok"], repartition=False,
-        meta={"round": round_id},
-    )
-    _crawled_write_sec = round(time.time() - _t_crawled, 2)
-    wide_schema = StructType(
-        [f for f in items_wide.schema.fields if f.name != "ok"]
-    )
-    _crawled_delta = [
-        f
-        for f in store.files("crawled", out_versions["crawled"])
-        if f not in _pre_crawled_files
-    ]
-    items_files = (
-        store.spark.read.schema(wide_schema).parquet(*_crawled_delta)
-        if _crawled_delta
-        else store.spark.createDataFrame([], wide_schema)
-    )
-    # hot projection for the two downstream consumers (children explode
-    # + retries): populated FROM the written files (no recompute of the
-    # extraction), body/response columns excluded — the cache holds
-    # links_full + scheduler meta only, which measured scale-safe
-    # (nested-parquet re-decoding cost children ~+10 s @16c without it)
-    items = items_files.drop(
-        "body", "links", "response_url", "status_msg", "exception",
-        "response_headers", "request_headers", "encoding", "timestamp",
-        "status_code",
-    ).persist()
+        _crawled_write_sec = round(time.time() - _t_crawled, 2)
+        wide_schema = StructType(
+            [f for f in items_wide.schema.fields if f.name != "ok"]
+        )
+        _crawled_delta = [
+            f
+            for f in store.files("crawled", out_versions["crawled"])
+            if f not in _pre_crawled_files
+        ]
+        items_files = (
+            store.spark.read.schema(wide_schema).parquet(*_crawled_delta)
+            if _crawled_delta
+            else store.spark.createDataFrame([], wide_schema)
+        )
+        # hot projection for the two downstream consumers (children
+        # explode + retries): populated FROM the written files (no
+        # recompute of the extraction), body/response columns excluded
+        # (nested-parquet re-decoding cost children ~+10 s @16c
+        # without this cache)
+        items = items_files.drop(
+            "body", "links", "response_url", "status_msg", "exception",
+            "response_headers", "request_headers", "encoding", "timestamp",
+            "status_code",
+        ).persist()
+    else:
+        items = items_full.persist()
+        crawled_write = lambda: store.append(  # noqa: E731 — joins the write pool
+            "crawled",
+            fetch.project_crawled(items).withColumn("ok", F.col("success")),
+            partition_by=["ok"],
+            repartition=False,
+            meta={"round": round_id},
+        )
 
     # ---- discovered children + retries → enqueue filter chain
     children = to_frontier_rows(parse.child_candidates(items), round_id, cfg, source="spider")
@@ -255,7 +273,8 @@ def run_round(
     # measured 146 s concurrent vs 86 s stepwise on the 1.45M-page
     # probe round).  count() jobs on cached plans cost ~0.2-0.5 s
     # each of driver planning — noise next to the contention they avoid.
-    for _df in (scheduled, items, children, enqueue_in):
+    # (scheduled was already counted above to steer the adaptive path)
+    for _df in (items, children, enqueue_in):
         _df.count()
 
     # ---- commits (lineage row last = atomic round commit)
@@ -287,9 +306,10 @@ def run_round(
             meta={"round": round_id},
             coalesce=cfg.append_coalesce,
         ),
-        # (crawled was already written above — the write-through
-        # materialization; 'ok' duplicates 'success' as the partition
-        # dir so pages_crawled comes free from footers)
+        # (large batches: crawled was already written above by the
+        # write-through path; small batches append it concurrently
+        # below.  'ok' duplicates 'success' as the partition dir so
+        # pages_crawled comes free from footers)
         "fetch_log": lambda: store.append(
             "fetch_log",
             scheduled.select(
@@ -304,6 +324,8 @@ def run_round(
             "page_counts", deltas, meta={"round": round_id}, coalesce=cfg.append_coalesce
         ),
     }
+    if crawled_write is not None:
+        writes["crawled"] = crawled_write
     if cfg.use_bloom:
         # delta bloom over this round's new fps; OR-merged at probe time
         writes["blooms"] = lambda: store.append(
@@ -331,7 +353,7 @@ def run_round(
 
         return run
 
-    if profile is not None:
+    if profile is not None and write_through:
         profile["write_crawled_sec"] = _crawled_write_sec
     t_writes = time.time()
     with ThreadPoolExecutor(max_workers=len(writes)) as ex:

@@ -27,6 +27,10 @@ KEY_QUERIES = [
     "embedding_neardup",
     "ivf_ann_topk",
     "stats_windows",
+    "bitmap_unique",
+    "pii_scrub",
+    "gopher_rules",
+    "neardup_clusters",
 ]
 
 

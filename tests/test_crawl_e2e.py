@@ -293,3 +293,37 @@ def test_fused_page_limits_equal_chained(spark):
     fb, _, gb = limits.apply_page_limits(cand, pc, None)
     assert gb is None
     assert sorted(map(key, a1b.collect())) == sorted(map(key, fb.collect()))
+
+
+def test_write_through_equals_cached_materialization(spark, pages):
+    """The adaptive item-materialization paths (write-through for large
+    batches vs cached items + concurrent append for small ones,
+    plans/round.py) produce IDENTICAL crawl state: same crawled rows,
+    same frontier, same seen set.  Forced via write_through_min_batch=0
+    vs the default (bench rounds sit far below 200k rows)."""
+    import shutil
+    import tempfile
+
+    from scrapy_cluster_spark.store import SnapshotStore
+
+    def run(cfg):
+        tmp = tempfile.mkdtemp(prefix="scs-wt-")
+        st = SnapshotStore(spark, tmp)
+        feed_requests(
+            st,
+            [{"appid": "wtapp", "crawlid": "wt", "url": "http://site1.com/page/0",
+              "priority": 50, "maxdepth": 2}],
+            cfg,
+        )
+        run_crawl(st, pages, cfg, max_rounds=6)
+        crawled = sorted(
+            (r.url, r.status_code, r.curdepth, len(r.links or []))
+            for r in _crawled(st).collect()
+        )
+        seen = sorted(r.fingerprint for r in st.read("seen", SEEN_SCHEMA).collect())
+        shutil.rmtree(tmp, ignore_errors=True)
+        return crawled, seen
+
+    cached = run(EngineConfig())                        # small path
+    wt = run(EngineConfig(write_through_min_batch=0))   # forced write-through
+    assert wt == cached and len(cached[0]) > 1
