@@ -359,6 +359,19 @@ def q_embedding_neardup(spark, sf):
     return V.neardup_pairs_lsh(emb, threshold=0.45)
 
 
+def q_embedding_clusters(spark, sf):
+    """Embedding-space dedup clusters: multi-table-LSH near-dup pairs
+    (cos ≥ 0.45, exact-verified) → connected components →
+    (vec_id, cluster_id, is_canonical).  Oracle: recursive-CTE closure
+    of the all-pairs cosine graph — verifies LSH pair recall AND the
+    iterative clustering in one hash."""
+    emb = _t(spark, sf, "embeddings")
+    pairs = V.neardup_pairs_lsh(emb, threshold=0.45).select("a", "b")
+    return G.neardup_clusters(
+        emb.select("vec_id"), pairs, id_col="vec_id"
+    )
+
+
 def q_lsh_ann_topk(spark, sf):
     """Hyperplane-LSH bucketed ANN — approximate, rows-only check."""
     emb = _t(spark, sf, "embeddings")
@@ -420,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": q_media_meta,
         "cosine_topk": q_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_clusters": q_embedding_clusters,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
     }
@@ -721,5 +735,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_dot_product(x.ev, y.ev)
                         / (sqrt(list_dot_product(x.ev, x.ev))
                            * sqrt(list_dot_product(y.ev, y.ev))), 4) >= 0.45
+        """,
+        "embedding_clusters": """
+            WITH RECURSIVE v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+            ),
+            p AS (
+              SELECT x.vec_id AS a, y.vec_id AS b
+              FROM v x JOIN v y ON x.vec_id < y.vec_id
+              WHERE round(list_dot_product(x.ev, y.ev)
+                          / (sqrt(list_dot_product(x.ev, x.ev))
+                             * sqrt(list_dot_product(y.ev, y.ev))), 4) >= 0.45
+            ),
+            e AS (SELECT a AS s, b AS d FROM p UNION ALL SELECT b AS s, a AS d FROM p),
+            reach(id, r) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT e.s, re.r FROM e JOIN reach re ON e.d = re.id
+            )
+            SELECT id AS vec_id, min(r) AS cluster_id, min(r) = id AS is_canonical
+            FROM reach GROUP BY id
         """,
     }

@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "stats_windows",
     "minhash_neardup",
     "embedding_neardup",
+    "embedding_clusters",
     "cosine_topk",
     "ivf_ann_topk",
 ]
