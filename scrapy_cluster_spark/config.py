@@ -62,6 +62,12 @@ class EngineConfig:
     # at small sizes).  Like a broadcast threshold, decided per round
     # from the actual batch count.
     write_through_min_batch: int = 200_000
+    # Compact append-only state tables every N rounds (0 = off): the
+    # Iceberg rewrite_data_files maintenance analog — long crawls
+    # accumulate one file set per round and scans become
+    # file-open-bound (store.py compact docstring)
+    compact_every: int = 0
+    compact_min_files: int = 16
     # files per append for small state tables: None = let AQE decide
     # (parallel write); small ints keep file counts tiny for long test
     # crawls at the cost of a single-task serial write per append

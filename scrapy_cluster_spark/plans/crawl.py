@@ -79,6 +79,52 @@ def feed_requests(
     return {"valid": n_valid, "invalid": n_invalid}
 
 
+# append-only tables that grow one file set per round — compaction
+# targets (frontier/crawled handle their own layout: frontier is
+# overwritten per round, crawled's large files are write-once)
+_COMPACT_TABLES = ["seen", "fetch_log", "page_counts", "metrics", "heartbeats"]
+
+
+def compact_state(store: SnapshotStore, cfg: EngineConfig = DEFAULT_CONFIG) -> dict:
+    """Maintenance pass: rewrite small-file append tables into few files
+    (store.compact — the Iceberg rewrite_data_files analog) and record
+    the new versions as a lineage event so resume pins see the
+    compacted snapshots.  Content is row-identical; safe at any point
+    between rounds."""
+    from scrapy_cluster_spark.plans.round import PAGE_COUNTS_SCHEMA
+    from scrapy_cluster_spark.schemas import (
+        FETCH_LOG_SCHEMA,
+        HEARTBEATS_SCHEMA,
+        METRICS_SCHEMA,
+        SEEN_SCHEMA,
+    )
+
+    schemas = {
+        "seen": SEEN_SCHEMA,
+        "fetch_log": FETCH_LOG_SCHEMA,
+        "page_counts": PAGE_COUNTS_SCHEMA,
+        "metrics": METRICS_SCHEMA,
+        "heartbeats": HEARTBEATS_SCHEMA,
+    }
+    changed = {}
+    for t in _COMPACT_TABLES:
+        before = store.current_version(t)
+        after = store.compact(t, schemas[t], min_files=cfg.compact_min_files)
+        if after != before:
+            changed[t] = after
+    prev = last_lineage(store)
+    _commit_lineage(
+        store,
+        {
+            "round": prev["round"] if prev else 0,
+            "type": "compact",
+            "inputs": (prev or {}).get("outputs", {}),
+            "outputs": {t: store.current_version(t) for t in STATE_TABLES},
+        },
+    )
+    return changed
+
+
 def run_crawl(
     store: SnapshotStore,
     pages: DataFrame,
@@ -111,4 +157,7 @@ def run_crawl(
         versions = lineage["outputs"]
         if lineage["scheduled"] == 0 and lineage["frontier_depth"] == 0:
             break
+        if cfg.compact_every and r % cfg.compact_every == 0:
+            compact_state(store, cfg)
+            versions = last_lineage(store)["outputs"]
     return results

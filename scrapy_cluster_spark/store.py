@@ -179,6 +179,32 @@ class SnapshotStore:
         pq.write_table(pa.Table.from_pylist(rows, schema=pa_schema), path)
         return self._commit(table, self.files(table) + [path], meta)
 
+    def compact(self, table: str, schema: StructType,
+                partition_by: list[str] | None = None,
+                min_files: int = 16, coalesce: int | None = None) -> int:
+        """Iceberg ``rewrite_data_files`` analog: rewrite the CURRENT
+        snapshot into fewer files when the manifest lists ≥ min_files.
+
+        Append-only state tables (seen / fetch_log / page_counts /
+        metrics / heartbeats) gain one file set per round — a long
+        crawl's scan cost becomes file-open-bound long before it is
+        row-bound (at 10¹⁰ seen rows with per-round appends the footer
+        listing alone dominates).  Compaction is an ordinary snapshot
+        commit: readers of older versions keep their files (time
+        travel), ``expire_snapshots`` reclaims them later.  Content is
+        byte-preserved (same rows, new layout)."""
+        cur = self.current_version(table)
+        files = self.files(table, cur)
+        if len(files) < min_files:
+            return cur
+        df = self.read(table, schema, cur)
+        if coalesce is None and partition_by is None:
+            coalesce = max(1, self.spark.sparkContext.defaultParallelism // 2)
+        return self.overwrite(
+            table, df, partition_by=partition_by, coalesce=coalesce,
+            meta={"compacted_from": cur, "files_before": len(files)},
+        )
+
     def rollback(self, table: str, version: int) -> int:
         """Commit a new snapshot whose file set equals ``version``'s —
         used on resume to discard partially-committed round output

@@ -45,3 +45,84 @@ def test_snapshot_expiry_gc(spark, store):
     # files only referenced by expired manifests are deleted — but appends
     # share files across manifests, so everything live must remain
     assert all(os.path.exists(f) for f in live)
+
+
+def test_compaction_preserves_content_and_shrinks_files(store, pages, spark):
+    """store.compact (Iceberg rewrite_data_files analog): a multi-round
+    crawl accumulates one file set per append; compaction rewrites the
+    current snapshot into few files with row-identical content, as a
+    normal commit (old snapshot stays readable for time travel)."""
+    from scrapy_cluster_spark.config import EngineConfig
+    from scrapy_cluster_spark.plans.crawl import compact_state, feed_requests, run_crawl
+    from scrapy_cluster_spark.schemas import SEEN_SCHEMA
+
+    cfg = EngineConfig()
+    feed_requests(
+        store,
+        [{"appid": "cmpapp", "crawlid": "cmp", "url": f"http://site{d}.com/page/0",
+          "priority": 50, "maxdepth": 2} for d in range(3)],
+        cfg,
+    )
+    run_crawl(store, pages, cfg, max_rounds=5)
+    v_before = store.current_version("seen")
+    files_before = len(store.files("seen"))
+    rows_before = sorted(
+        (r.spiderid, r.crawlid, r.fingerprint)
+        for r in store.read("seen", SEEN_SCHEMA).collect()
+    )
+    assert files_before > 2
+
+    changed = compact_state(store, EngineConfig(compact_min_files=2))
+    assert "seen" in changed
+    assert len(store.files("seen")) < files_before
+    rows_after = sorted(
+        (r.spiderid, r.crawlid, r.fingerprint)
+        for r in store.read("seen", SEEN_SCHEMA).collect()
+    )
+    assert rows_after == rows_before
+    # time travel: the pre-compaction snapshot still reads
+    assert store.count("seen", v_before) == len(rows_before)
+    # GC: expiring old snapshots removes the superseded small files,
+    # current snapshot unaffected
+    store.expire_snapshots("seen", keep_last=1)
+    assert sorted(
+        (r.spiderid, r.crawlid, r.fingerprint)
+        for r in store.read("seen", SEEN_SCHEMA).collect()
+    ) == rows_before
+
+
+def test_crawl_resumes_across_compaction(spark, pages):
+    """A crawl interrupted right after a compaction pass resumes from
+    the compacted snapshots and finishes identically to an
+    uninterrupted run (compaction is a lineage event)."""
+    import shutil
+    import tempfile
+
+    from scrapy_cluster_spark.config import EngineConfig
+    from scrapy_cluster_spark.plans.crawl import feed_requests, run_crawl
+    from scrapy_cluster_spark.schemas import CRAWLED_SCHEMA
+    from scrapy_cluster_spark.store import SnapshotStore
+
+    def crawl(split: int | None):
+        cfg = EngineConfig(compact_every=2, compact_min_files=2)
+        tmp = tempfile.mkdtemp(prefix="scs-cmp-")
+        st = SnapshotStore(spark, tmp)
+        feed_requests(
+            st,
+            [{"appid": "cmpapp", "crawlid": "cr", "url": "http://site1.com/page/0",
+              "priority": 50, "maxdepth": 2}],
+            cfg,
+        )
+        if split is None:
+            run_crawl(st, pages, cfg, max_rounds=8)
+        else:
+            run_crawl(st, pages, cfg, max_rounds=split)   # stops post-compaction
+            run_crawl(st, pages, cfg, max_rounds=8 - split)  # resume
+        out = sorted(
+            (r.url, r.round, r.status_code)
+            for r in st.read("crawled", CRAWLED_SCHEMA).collect()
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+        return out
+
+    assert crawl(split=2) == crawl(split=None)
