@@ -1,0 +1,139 @@
+"""Property-based tests (hypothesis): invariants that fixture tests
+can't sweep — random inputs against semantic contracts.
+
+Spark jobs are slow per example, so Spark-backed properties cap
+max_examples and disable deadlines; pure-Python properties run the
+default budget.
+"""
+
+import string
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from scrapy_cluster_spark.functions.url import canonicalize_url, request_fingerprint
+
+# ---------------------------------------------------------------------------
+# pure-Python: URL canonicalization contract (scrapy/w3lib parity layer)
+# ---------------------------------------------------------------------------
+
+_url_chars = string.ascii_letters + string.digits + "-._~:/?#[]@!$&'()*+,;=% "
+urls = st.builds(
+    lambda host, path, q: f"http://{host}.com/{path}" + (f"?{q}" if q else ""),
+    st.text(string.ascii_lowercase + string.digits, min_size=1, max_size=12),
+    st.text(_url_chars, max_size=30),
+    st.text(_url_chars, max_size=20),
+)
+
+
+@given(urls)
+def test_canonicalize_idempotent(u):
+    """canonicalize ∘ canonicalize ≡ canonicalize — the dupefilter key
+    must be a fixpoint or re-queued URLs would re-fingerprint as new."""
+    c1 = canonicalize_url(u)
+    assert canonicalize_url(c1) == c1
+
+
+@given(urls)
+def test_fingerprint_follows_canonical_form(u):
+    """Two spellings with the same canonical form share a fingerprint
+    (redis_dupefilter keys by request_fingerprint of the canonical
+    URL)."""
+    c = canonicalize_url(u)
+    assert request_fingerprint(u) == request_fingerprint(c)
+
+
+@given(st.lists(st.tuples(
+    st.sampled_from(["a", "b", "k"]),
+    st.text(string.ascii_lowercase, min_size=1, max_size=6),
+), max_size=8))
+def test_fingerprint_query_order_invariant(pairs):
+    """Query-param ORDER never changes the fingerprint (scrapy
+    canonicalization sorts query keys)."""
+    qs1 = "&".join(f"{k}={v}" for k, v in pairs)
+    qs2 = "&".join(f"{k}={v}" for k, v in sorted(pairs))
+    u1 = f"http://ex.com/p?{qs1}"
+    u2 = f"http://ex.com/p?{qs2}"
+    assert request_fingerprint(u1) == request_fingerprint(u2)
+
+
+# ---------------------------------------------------------------------------
+# Spark-backed: fused page limits ≡ chained reference pair, any input
+# ---------------------------------------------------------------------------
+
+cand_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["c0", "c1"]),                      # crawlid
+        st.integers(min_value=0, max_value=3),              # domain idx
+        st.integers(min_value=0, max_value=30),             # page idx
+        st.integers(min_value=1, max_value=100),            # priority
+        st.sampled_from([None, 0, 2, 5]),                   # domain_max_pages
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: (t[0], t[1], t[2]),
+)
+prior_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["c0", "c1"]),
+        st.integers(min_value=0, max_value=3),
+        st.sampled_from(["domain", "global"]),
+        st.integers(min_value=1, max_value=4),
+    ),
+    max_size=6,
+    unique_by=lambda t: (t[0], t[1], t[2]),
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(cand_rows, prior_rows, st.sampled_from([None, 3, 6]))
+def test_fused_page_limits_property(spark, cands, priors, glim):
+    """apply_page_limits ≡ apply_domain_max_pages → apply_global_page_limit
+    for ARBITRARY candidates, prior counters, and cap configurations —
+    survivors and both delta tables row-identical."""
+    from scrapy_cluster_spark.operators import limits
+    from scrapy_cluster_spark.plans.round import PAGE_COUNTS_SCHEMA
+
+    cand = spark.createDataFrame(
+        [("link", c, f"dom{d}.com", f"http://dom{d}.com/p/{j}", p, dmp, 0)
+         for c, d, j, p, dmp in cands],
+        "spiderid string, crawlid string, domain string, url string, "
+        "priority int, domain_max_pages int, retry_times int",
+    )
+    pc = spark.createDataFrame(
+        [("link", c, f"dom{d}.com", k, n) for c, d, k, n in priors],
+        PAGE_COUNTS_SCHEMA,
+    )
+    a1, d1 = limits.apply_domain_max_pages(cand, pc)
+    a2, g1 = limits.apply_global_page_limit(a1, pc, glim)
+    fused, d2, g2 = limits.apply_page_limits(cand, pc, glim)
+
+    key = lambda r: (r["crawlid"], r["domain"], r["url"])
+    assert sorted(map(key, a2.collect())) == sorted(map(key, fused.collect()))
+    assert sorted(map(tuple, d1.collect())) == sorted(map(tuple, d2.collect()))
+    if glim is None:
+        assert g1 is None and g2 is None
+    else:
+        assert sorted(map(tuple, g1.collect())) == sorted(map(tuple, g2.collect()))
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=60),
+       st.integers(min_value=1, max_value=3))
+def test_bitmap_counter_property(spark, idxs, n_groups):
+    """bitmap_counter ≡ COUNT(DISTINCT) for arbitrary non-negative
+    indexes and groupings (word packing has no edge cases)."""
+    from scrapy_cluster_spark.operators.stats import bitmap_counter
+
+    df = spark.createDataFrame(
+        [(i, str(i % n_groups)) for i in idxs], "idx long, grp string"
+    )
+    got = {r.grp: r.value for r in bitmap_counter(df, "idx", ["grp"]).collect()}
+    want = {
+        r.grp: r.d
+        for r in df.groupBy("grp").agg(F.countDistinct("idx").alias("d")).collect()
+    }
+    assert got == want
