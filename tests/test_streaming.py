@@ -39,3 +39,96 @@ def test_stream_requests_to_frontier(store, pages):
     q2 = stream_requests_to_frontier(store, req_dir, os.path.join(tmp, "ckpt"))
     q2.awaitTermination(120)
     assert store.read("frontier", FRONTIER_SCHEMA).filter("appid = 'streamapp'").count() == 4
+
+
+def test_windowed_stats_watermark_late_data(spark):
+    """Watermarked tumbling-window rollup (SURVEY §2.7 'Windows'):
+    append mode emits a window only once the watermark closes it; a
+    late event WITHIN the watermark counts, one arriving after its
+    window closed is dropped — the streaming analog of zset window
+    expiry (stats_collector.py:447-471)."""
+    import json
+    import os
+    import tempfile
+
+    from scrapy_cluster_spark.streaming import stream_windowed_status_counts
+
+    tmp = tempfile.mkdtemp(prefix="scs-ss-")
+    ev_dir = os.path.join(tmp, "events")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(ev_dir)
+
+    def feed(name, rows):
+        with open(os.path.join(ev_dir, name), "w") as f:
+            for ts, sid, sc in rows:
+                f.write(json.dumps({"ts": ts, "spiderid": sid, "status_code": sc}) + "\n")
+
+    # batch 1: two events in window [00:00,01:00), one at [02:00,03:00).
+    # max event time 02:10 → watermark 01:10 → the 00:00 window CLOSES
+    # and is emitted with n=2.
+    feed("b1.json", [
+        ("2024-01-01T00:00:10", "link", 200),
+        ("2024-01-01T00:00:40", "link", 200),
+        ("2024-01-01T00:02:10", "link", 200),
+    ])
+    got1: list = []
+    q = stream_windowed_status_counts(spark, ev_dir, ckpt,
+                                      on_batch=lambda rows: got1.extend(rows))
+    q.awaitTermination(120)
+    emitted1 = {(r["win"].start.minute, r["n"]) for r in got1}
+    assert (0, 2) in emitted1            # closed window emitted once, n=2
+    assert all(m == 0 for m, _ in emitted1)  # open windows NOT emitted
+
+    # batch 2: one event LATE for the closed 00:00 window (dropped —
+    # watermark already passed) and one at 00:03:10 that advances the
+    # watermark past the 02:00 window, closing it with n=1 (the late
+    # row never resurrects the closed window).
+    feed("b2.json", [
+        ("2024-01-01T00:00:50", "link", 200),   # too late: window closed
+        ("2024-01-01T00:03:10", "link", 200),
+    ])
+    got2: list = []
+    q2 = stream_windowed_status_counts(spark, ev_dir, ckpt,
+                                       on_batch=lambda rows: got2.extend(rows))
+    q2.awaitTermination(120)
+    # availableNow stops once input drains; windows closed by batch 2's
+    # watermark flush on the NEXT trigger — feed a third batch to flush
+    feed("b3.json", [("2024-01-01T00:05:00", "link", 200)])
+    got3: list = []
+    q3 = stream_windowed_status_counts(spark, ev_dir, ckpt,
+                                       on_batch=lambda rows: got3.extend(rows))
+    q3.awaitTermination(120)
+    emitted23 = {(r["win"].start.minute, r["n"]) for r in got2 + got3}
+    assert (2, 1) in emitted23           # the 02:00 window closes with 1
+    # the late 00:00:50 row was dropped: the closed 00:00 window is
+    # NEVER re-emitted or corrected
+    assert not any(m == 0 for m, _ in emitted23)
+
+
+def test_windowed_stats_stream_lands_in_metrics(store, spark):
+    """With a store attached, each watermark-closed window appends a
+    metrics row (component='crawler-stream') — the streaming path feeds
+    the same table the stats API reads."""
+    import json
+    import os
+    import tempfile
+
+    from scrapy_cluster_spark.schemas import METRICS_SCHEMA
+    from scrapy_cluster_spark.streaming import stream_windowed_status_counts
+
+    tmp = tempfile.mkdtemp(prefix="scs-ssm-")
+    ev_dir = os.path.join(tmp, "events")
+    os.makedirs(ev_dir)
+    with open(os.path.join(ev_dir, "b1.json"), "w") as f:
+        for ts, sc in [("2024-01-01T00:00:05", 200), ("2024-01-01T00:00:25", 404),
+                       ("2024-01-01T00:02:30", 200)]:
+            f.write(json.dumps({"ts": ts, "spiderid": "link", "status_code": sc}) + "\n")
+    q = stream_windowed_status_counts(spark, ev_dir, os.path.join(tmp, "ckpt"), store=store)
+    q.awaitTermination(120)
+    rows = (
+        store.read("metrics", METRICS_SCHEMA)
+        .filter("component = 'crawler-stream'")
+        .collect()
+    )
+    got = {(r.kind, r.value) for r in rows}
+    assert got == {("status_200", 1.0), ("status_404", 1.0)}  # the closed 00:00 window
