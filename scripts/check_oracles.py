@@ -39,7 +39,8 @@ def value_hash(rows: list[dict], cols: list[str]) -> str:
     return h.hexdigest()[:16]
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+def main(sf_dir: str = "/root/testdata/sf0.01", only: str = "") -> int:
+    """``only``: comma-separated query names for a targeted re-check."""
     spark = get_spark(app_name="oracle-check", cores=8)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -47,6 +48,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs = entrymod.queries()
+    if only:
+        wanted = set(only.split(","))
+        qs = {n: f for n, f in qs.items() if n in wanted}
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():

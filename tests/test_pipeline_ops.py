@@ -361,6 +361,67 @@ class TestGraphClustering:
         got = {r.id: r.component for r in G.connected_components(verts, edges).collect()}
         assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 12: 10, 20: 20}
 
+    def test_chain_converges_logarithmically(self, spark):
+        """1,000-hop chain — the adversarial shape for min-label
+        propagation (O(diameter) = 1,000 rounds).  Large-star/small-star
+        contraction doubles covered hop-distance per round, so the
+        fixpoint (+1 confirming round) lands within ~log2(n) rounds
+        (round-3 verdict item #1)."""
+        from pyspark.sql import functions as F
+
+        from scrapy_cluster_spark.functions import graph as G
+
+        verts = spark.range(1_000)
+        edges = spark.range(999).select(
+            F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+        )
+        st: dict = {}
+        got = G.connected_components(verts, edges, stats=st)
+        assert got.filter(F.col("component") != 0).count() == 0
+        assert got.count() == 1_000
+        assert st["converged"]
+        assert st["rounds"] <= 12  # measured: 10 productive + 1 confirm
+
+    def test_star_equals_label_propagation(self, spark):
+        """A/B: contraction vs min-label propagation produce identical
+        labels on a random sparse graph (many components, mixed shapes)."""
+        import random
+
+        from scrapy_cluster_spark.functions import graph as G
+
+        rng = random.Random(7)
+        n = 400
+        edges = spark.createDataFrame(
+            [(rng.randrange(n), rng.randrange(n)) for _ in range(300)],
+            ["a", "b"],
+        ).filter("a != b")
+        verts = spark.range(n)
+        star = {r.id: r.component
+                for r in G.connected_components(verts, edges, algorithm="star").collect()}
+        label = {r.id: r.component
+                 for r in G.connected_components(verts, edges, algorithm="label").collect()}
+        assert star == label
+
+    def test_nonconvergence_warns(self, spark):
+        """max_iter too small for the graph diameter → RuntimeWarning,
+        not silently wrong labels (round-3 advice)."""
+        import warnings
+
+        from pyspark.sql import functions as F
+
+        from scrapy_cluster_spark.functions import graph as G
+
+        verts = spark.range(64)
+        edges = spark.range(63).select(
+            F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+        )
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            st: dict = {}
+            G.connected_components(verts, edges, max_iter=1, stats=st).count()
+        assert not st["converged"]
+        assert any(issubclass(x.category, RuntimeWarning) for x in w)
+
     def test_neardup_clusters_canonical(self, spark, docs):
         """Docs 0/1/2 are exact+near dups (jaccard ≥ 0.5) → one cluster
         keeping the lowest id; everything else is its own canonical."""
