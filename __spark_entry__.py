@@ -31,6 +31,44 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# -- persisted-intermediate lifecycle ---------------------------------------
+# Queries that persist a shared intermediate (the MinHash shingle set)
+# register the handle here; the NEXT query invocation releases it.  A
+# sequential runner (the driver's correctness sweep, bench reps) then
+# holds at most ONE cached plan at a time instead of accumulating one
+# per invocation for the session's lifetime — the executor-storage
+# pressure class round 3 eliminated from the crawl round (round-3
+# verdict "What's wrong #2").
+_LIVE_HANDLES: list = []
+
+
+def release_caches() -> None:
+    """Unpersist intermediates left by the previous query invocation."""
+    while _LIVE_HANDLES:
+        try:
+            _LIVE_HANDLES.pop().unpersist()
+        except Exception:
+            pass
+
+
+def _nrows(sf_dir: str, table: str) -> int | None:
+    """Corpus row count from parquet FOOTERS — feeds ``n_hint`` so LSH
+    sizing needs no count job (one fewer Spark job per invocation)."""
+    import glob
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        files = [path] if os.path.isfile(path) else glob.glob(
+            os.path.join(path, "*.parquet")
+        )
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files) or None
+    except Exception:
+        return None
+
+
 # ---------------------------------------------------------------------------
 # Crawl-operator analogs (SURVEY.md §2.2/§2.3/§2.5 "testdata analog" column)
 # ---------------------------------------------------------------------------
@@ -273,7 +311,9 @@ def q_neardup_clusters(spark, sf):
     hash-checked against it, so both the pair recall AND the clustering
     are verified end-to-end."""
     docs = _t(spark, sf, "documents")
-    pairs = D.minhash_neardup_pairs(docs, threshold=0.5).select("a", "b")
+    pairs = D.minhash_neardup_pairs(
+        docs, threshold=0.5, handles=_LIVE_HANDLES
+    ).select("a", "b")
     return G.neardup_clusters(docs.select("doc_id"), pairs)
 
 
@@ -296,7 +336,7 @@ def q_minhash_neardup(spark, sf):
     q_ngram_jaccard_pairs when LSH recall is 1 on this corpus (oracle
     checks exactly that)."""
     docs = _t(spark, sf, "documents")
-    return D.minhash_neardup_pairs(docs, threshold=0.5)
+    return D.minhash_neardup_pairs(docs, threshold=0.5, handles=_LIVE_HANDLES)
 
 
 def q_simhash_buckets(spark, sf):
@@ -356,7 +396,7 @@ def q_embedding_neardup(spark, sf):
     deterministic (seeded planes) and asserted by
     tests/test_pipeline_ops.py::test_neardup_lsh_equals_bruteforce."""
     emb = _t(spark, sf, "embeddings")
-    return V.neardup_pairs_lsh(emb, threshold=0.45)
+    return V.neardup_pairs_lsh(emb, threshold=0.45, n_hint=_nrows(sf, "embeddings"))
 
 
 def q_embedding_clusters(spark, sf):
@@ -366,7 +406,9 @@ def q_embedding_clusters(spark, sf):
     of the all-pairs cosine graph — verifies LSH pair recall AND the
     iterative clustering in one hash."""
     emb = _t(spark, sf, "embeddings")
-    pairs = V.neardup_pairs_lsh(emb, threshold=0.45).select("a", "b")
+    pairs = V.neardup_pairs_lsh(
+        emb, threshold=0.45, n_hint=_nrows(sf, "embeddings")
+    ).select("a", "b")
     return G.neardup_clusters(
         emb.select("vec_id"), pairs, id_col="vec_id"
     )
@@ -403,7 +445,23 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_schedule_round_analog(spark, "/root/testdata/sf0.001")
 
 
+def _released(fn: Callable) -> Callable:
+    """Each query invocation first drops intermediates persisted by the
+    PREVIOUS one — a sequential runner holds ≤1 cached plan at a time."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_caches()
+        return fn(spark, sf_dir)
+
+    run.__name__ = fn.__name__
+    run.__doc__ = fn.__doc__
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {n: _released(f) for n, f in _raw_queries().items()}
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_topk_pop": q_frontier_topk_pop,
         "pagelimit_cumcount": q_pagelimit_cumcount,

@@ -267,7 +267,13 @@ def main() -> None:
     crawl = crawl_throughput(spark)
     spark.stop()
 
-    result = {
+    # the driver captures only the TAIL of stdout (~2 KB) and parses the
+    # last line as JSON — round 3's line carried per-query min/max +
+    # crawl detail, overflowed the capture, and the round's headline
+    # dropped out of the machine-readable record ("parsed": null).  The
+    # final LINE is therefore compact (medians only); full detail goes
+    # to BENCH_LATEST.json next to this script.
+    detail = {
         "metric": "frontier scheduling throughput (URLs scheduled+deduped/sec)",
         "value": crawl["urls_per_sec"],
         "unit": "urls/sec",
@@ -277,8 +283,22 @@ def main() -> None:
         "crawl_bench": crawl,
     }
     if os.environ.get("SPARK_GRAFT_SCALING"):
-        result["scaling"] = scaling_probe()
-    print(json.dumps(result))
+        detail["scaling"] = scaling_probe()
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LATEST.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    compact = {
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": "urls/sec",
+        "queries": queries,
+        "sf": detail["sf"],
+    }
+    if "scaling" in detail:
+        compact["scaling_efficiency"] = detail["scaling"].get("efficiency")
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1800, f"bench line too long for driver tail: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

