@@ -117,6 +117,22 @@ _MT_MIN_PLANES = 5
 _MT_MAX_TABLES = 256
 
 
+def tables_for_planes(planes: int, threshold: float, recall: float = 0.999) -> int:
+    """Table count from the hyperplane collision-recall bound for a
+    GIVEN planes-per-table — so a caller-specified plane count gets a
+    table count sized for it, not for the derived one (round-3 advice:
+    reusing the derived table count with more planes silently broke the
+    ≥``recall`` bound)."""
+    import math
+
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    q = p**planes
+    if q >= 1.0:
+        return 1
+    tables = math.ceil(math.log(max(1.0 - recall, 1e-12)) / math.log(1.0 - q))
+    return max(1, min(tables, _MT_MAX_TABLES))
+
+
 def derive_lsh_params(
     n: int,
     threshold: float,
@@ -130,12 +146,7 @@ def derive_lsh_params(
     planes = max(
         _MT_MIN_PLANES, math.ceil(math.log2(max(n / max(target_bucket_rows, 1), 2.0)))
     )
-    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
-    q = p**planes
-    if q >= 1.0:
-        return planes, 1
-    tables = math.ceil(math.log(max(1.0 - recall, 1e-12)) / math.log(1.0 - q))
-    return planes, max(1, min(tables, _MT_MAX_TABLES))
+    return planes, tables_for_planes(planes, threshold, recall)
 
 
 def _multitable_udf(planes_per_table: int, n_tables: int, seed: int = 7):
@@ -184,10 +195,15 @@ def lsh_candidate_pairs(
     guaranteed by that table, only by the other tables.  Off by default
     (exactness first)."""
     n = n_hint if n_hint is not None else emb.count()
-    if planes_per_table is None or n_tables is None:
-        d_planes, d_tables = derive_lsh_params(n, threshold)
-        planes_per_table = planes_per_table or d_planes
-        n_tables = n_tables or d_tables
+    if planes_per_table is None:
+        planes_per_table, d_tables = derive_lsh_params(n, threshold)
+        if n_tables is None:
+            n_tables = d_tables
+    elif n_tables is None:
+        # caller pinned the plane count: the recall bound must be
+        # re-derived for THAT count (more planes ⇒ rarer collisions ⇒
+        # more tables), not reused from the derived plane count
+        n_tables = tables_for_planes(planes_per_table, threshold)
     udf = _multitable_udf(planes_per_table, n_tables)
     keys = emb.select(
         F.col(id_col).alias("_id"), udf(F.col(vec_col)).alias("bks")

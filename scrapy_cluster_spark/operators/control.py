@@ -355,6 +355,25 @@ def feed_action(store: SnapshotStore, action: dict) -> None:
     if plugin:
         rows.append(dict(rows[0], plugin=plugin))
     store.append_rows("metrics", rows, METRICS_SCHEMA)
+    # metrics is a lineage-tracked STATE_TABLE: commit a feed-type
+    # lineage row (mirroring feed_requests) so crash-resume rollback
+    # covers this append too — otherwise the rollback discards the
+    # metric rows while the fed action row survives, and kafka-monitor
+    # counts drift from actions actually processed (round-3 advice #4)
+    from scrapy_cluster_spark.plans.round import (
+        STATE_TABLES, _commit_lineage, last_lineage,
+    )
+
+    prev = last_lineage(store)
+    _commit_lineage(
+        store,
+        {
+            "round": prev["round"] if prev else 0,
+            "type": "feed",
+            "inputs": (prev or {}).get("outputs", {}),
+            "outputs": {t: store.current_version(t) for t in STATE_TABLES},
+        },
+    )
 
 
 def poll_outbound(store: SnapshotStore, uuid: str) -> dict | None:

@@ -70,6 +70,12 @@ def stream_windowed_status_counts(
             F.window("ts", window).alias("win"), "spiderid", "status_code"
         )
         .agg(F.count("*").alias("n"))
+        # epoch seconds computed INSIDE the query: collecting win.start
+        # as a naive datetime and calling .timestamp() re-interprets it
+        # in the PROCESS-local timezone, shifting the metric ts by the
+        # tz offset whenever session and OS timezones differ (round-3
+        # advice #5)
+        .withColumn("ts_epoch", F.unix_micros(F.col("win.start")) / F.lit(1e6))
     )
 
     def handle(batch_df, batch_id: int) -> None:
@@ -86,7 +92,7 @@ def stream_windowed_status_counts(
                      "kind": f"status_{r['status_code']}", "plugin": None,
                      "spiderid": r["spiderid"], "status_code": r["status_code"],
                      "value": float(r["n"]),
-                     "ts": r["win"].start.timestamp()}
+                     "ts": r["ts_epoch"]}
                     for r in rows
                 ],
                 METRICS_SCHEMA,

@@ -46,6 +46,24 @@ def test_stats_action_payload(store, pages):
     assert p["machine"]["count"] == 1
     assert p["machine"][host]["200"]["lifetime"] == 5
     assert "kafka-monitor" in p and "redis-monitor" in p
+    # 'all' carries the rest section too (get_all_stats,
+    # stats_monitor.py:78); no REST process runs in-engine, so its
+    # metrics dict is empty — the KEY must still exist for API parity
+    assert p["rest"] == {}
+    # kafka-monitor total_value equals its lifetime window: totals come
+    # from plugin-null rows only (plugin rows share kind='total' and
+    # would double-count every handled message)
+    km_total = p["kafka-monitor"].get("total", {})
+    if km_total:
+        assert km_total["total_value"] == km_total["lifetime"]
+
+    # --- stats: crawler = spiders + machines + QUEUE
+    # (get_crawler_stats, stats_monitor.py:246-258)
+    feed_action(store, {"action": "stats", "uuid": "u-crawler", "stats": "crawler"})
+    process_actions(store, round_id=2)
+    pc = poll_outbound(store, "u-crawler")["payload"]
+    assert set(pc) == {"stats", "queue", "spider", "machine"}
+    assert "total_backlog" in pc["queue"]
 
     # --- heartbeat expiry: same store, much later stats action.  A
     # heartbeat older than the TTL no longer counts as live (Redis
