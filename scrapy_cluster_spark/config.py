@@ -47,6 +47,13 @@ class EngineConfig:
     use_bloom: bool = False
     bloom_m_bits: int = 1 << 23
     bloom_k: int = 7
+    # Cuckoo sidecar (operators/cuckoo.py) — the DELETABLE membership
+    # variant: retention removes expired fingerprints in place instead
+    # of rebuilding the sidecar.  Same exact-join fallback contract as
+    # bloom (A/B-tested e2e); at most one of use_bloom/use_cuckoo.
+    use_cuckoo: bool = False
+    cuckoo_m: int = 1 << 16
+    cuckoo_slots: int = 4
     # Fetch-join miss recovery: False (default) anti-joins the scheduled
     # batch against the column-pruned pages url scan — nothing
     # html-bearing is persisted (persisting corpus-sized hits was the

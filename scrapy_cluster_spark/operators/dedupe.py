@@ -46,7 +46,8 @@ def split_new_vs_seen(
 
 
 def apply_dupefilter(
-    candidates: DataFrame, seen: DataFrame, blooms: DataFrame | None = None
+    candidates: DataFrame, seen: DataFrame, blooms: DataFrame | None = None,
+    cuckoos: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full dupefilter pass.
 
@@ -58,11 +59,19 @@ def apply_dupefilter(
 
     With ``blooms`` (per-bucket sidecars, operators/bloom.py) the probe
     pre-filters via the bloom pass and only bloom hits reach the exact
-    anti-join — identical output, a fraction of the shuffle.
+    anti-join — identical output, a fraction of the shuffle.  With
+    ``cuckoos`` (operators/cuckoo.py) the same contract routes through
+    the deletable cuckoo sidecar instead; cuckoo wins when retention
+    must REMOVE expired fingerprints without a full sidecar rebuild.
     """
     probed = candidates.filter(~F.col("dont_filter"))
     bypass = candidates.filter(F.col("dont_filter"))
-    if blooms is not None:
+    if cuckoos is not None:
+        from scrapy_cluster_spark.operators.cuckoo import cuckoo_filtered_anti_join
+
+        new = cuckoo_filtered_anti_join(probed, seen, cuckoos, SEEN_KEY + ["bucket"])
+        new = new.select(*probed.columns)
+    elif blooms is not None:
         from scrapy_cluster_spark.operators.bloom import bloom_filtered_anti_join
 
         new = bloom_filtered_anti_join(probed, seen, blooms, SEEN_KEY + ["bucket"])

@@ -35,11 +35,24 @@ def expire_seen(store: SnapshotStore, current_round: int,
     horizon = current_round - ttl_rounds
     seen = store.read("seen", SEEN_SCHEMA)
     kept = seen.filter(F.col("seen_round") > F.lit(horizon))
+    expired = seen.filter(F.col("seen_round") <= F.lit(horizon))
     store.overwrite("seen", kept, meta={"retention_round": current_round})
     if cfg.use_bloom:
         store.overwrite(
             "blooms",
             build_delta_blooms(kept, cfg.bloom_m_bits, cfg.bloom_k),
+            meta={"retention_round": current_round},
+            coalesce=1,
+        )
+    if cfg.use_cuckoo and store.exists("cuckoos"):
+        # the reason cuckoo exists: DELETE the expired fingerprints in
+        # place (per-bucket cogroup) — no full rebuild from `kept`
+        from scrapy_cluster_spark.operators.cuckoo import CUCKOO_SCHEMA, cuckoo_delete
+
+        filters = store.read("cuckoos", CUCKOO_SCHEMA)
+        store.overwrite(
+            "cuckoos",
+            cuckoo_delete(filters, expired, m=cfg.cuckoo_m, slots=cfg.cuckoo_slots),
             meta={"retention_round": current_round},
             coalesce=1,
         )

@@ -75,6 +75,7 @@ STATE_TABLES = [
     "domain_config",
     "robots_rules",
     "blooms",
+    "cuckoos",
     # appended after the concurrent writes but BEFORE the lineage commit
     # — in lineage so crash-resume rollback covers them (a crash between
     # the heartbeat append and the lineage commit would otherwise leave
@@ -248,7 +249,14 @@ def run_round(
     blooms_df = (
         store.read("blooms", bloom.BLOOM_SCHEMA, pins["blooms"]) if cfg.use_bloom else None
     )
-    passed_dupe, seen_inserts = dedupe.apply_dupefilter(children, seen, blooms_df)
+    cuckoos_df = None
+    if cfg.use_cuckoo:
+        from scrapy_cluster_spark.operators import cuckoo as cuckoo_mod
+
+        cuckoos_df = store.read("cuckoos", cuckoo_mod.CUCKOO_SCHEMA, pins["cuckoos"])
+    passed_dupe, seen_inserts = dedupe.apply_dupefilter(
+        children, seen, blooms_df, cuckoos_df
+    )
 
     retries = parse.retry_candidates(items, cfg).select(*[f.name for f in FRONTIER_SCHEMA.fields])
     enqueue_in = passed_dupe.unionByName(retries).persist()
@@ -331,6 +339,20 @@ def run_round(
         writes["blooms"] = lambda: store.append(
             "blooms",
             bloom.build_delta_blooms(seen_inserts, cfg.bloom_m_bits, cfg.bloom_k),
+            meta={"round": round_id},
+            coalesce=1,
+        )
+    if cfg.use_cuckoo:
+        # cuckoo is a MAINTAINED table (upsert-in-place per bucket), not
+        # an append-delta like bloom: cogroup this round's new fps into
+        # the pinned sidecars and commit the rewritten snapshot
+        from scrapy_cluster_spark.operators import cuckoo as cuckoo_mod
+
+        writes["cuckoos"] = lambda: store.overwrite(
+            "cuckoos",
+            cuckoo_mod.cuckoo_upsert(
+                cuckoos_df, seen_inserts, m=cfg.cuckoo_m, slots=cfg.cuckoo_slots
+            ),
             meta={"round": round_id},
             coalesce=1,
         )
