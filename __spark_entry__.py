@@ -415,13 +415,14 @@ def q_embedding_clusters(spark, sf):
 
 
 def q_lsh_ann_topk(spark, sf):
-    """Hyperplane-LSH bucketed ANN — approximate, rows-only check."""
+    """Multi-table hyperplane-LSH bucketed ANN (recall-floor-tested vs
+    brute force) — approximate, rows-only check."""
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    return V.lsh_ann_topk(queries, corpus, k=5)
+    return V.lsh_ann_topk(queries, corpus, k=5, n_hint=_nrows(sf, "embeddings"))
 
 
 def q_ivf_ann_topk(spark, sf):

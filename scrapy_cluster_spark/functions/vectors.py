@@ -382,20 +382,58 @@ def lsh_ann_topk(
     id_c: str = "c_id",
     vec_q: str = "q_vec",
     vec_c: str = "c_vec",
+    planes_per_table: int | None = None,
+    n_tables: int | None = None,
+    target_sim: float = 0.5,
+    recall: float = 0.9,
+    n_hint: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: score only same-bucket candidates.
+    """Approximate top-k: score only candidates sharing a bucket with
+    the query in ≥1 of ``n_tables`` independent hyperplane bucketings.
 
-    Recall < 1 by construction (single hash table); production stacks
-    multiple tables (union of B bucketings) to trade shuffle volume for
-    recall.  Rows-only correctness check (approximate by design)."""
+    Sizing mirrors ``neardup_pairs_lsh``: planes from corpus size (so
+    per-table candidate volume stays linear in n), table count from the
+    collision-recall bound at ``target_sim`` — a neighbor at cosine
+    ``target_sim`` is retrieved with probability ≥ ``recall``; closer
+    neighbors (the ones that matter for top-k) collide more often.  The
+    round-2 single-table variant had measured recall 0.07 on the test
+    corpus; multi-table lands ≥ the bound (recall floor pinned by
+    tests/test_pipeline_ops.py::test_lsh_ann_recall_floor).  Still
+    approximate by design → rows-only correctness check.
+
+    Plan shape: ids×tables explode on BOTH sides (vectors are not
+    shuffled), broadcast the small query side, equi-join on
+    (table, bucket), distinct (q, c) candidate pairs, join vectors back,
+    JVM-side cosine, per-query window top-k."""
     from pyspark.sql import Window
 
-    qb = queries.withColumn("bucket", hyperplane_bucket_udf(F.col(vec_q)))
-    cb = corpus.withColumn("bucket", hyperplane_bucket_udf(F.col(vec_c)))
-    scored = F.broadcast(qb).join(cb, "bucket").withColumn("cos", cosine(vec_q, vec_c))
+    n = n_hint if n_hint is not None else corpus.count()
+    if planes_per_table is None:
+        planes_per_table, _ = derive_lsh_params(n, target_sim)
+    if n_tables is None:
+        n_tables = tables_for_planes(planes_per_table, target_sim, recall)
+    udf = _multitable_udf(planes_per_table, n_tables)
+    qk = queries.select(
+        id_q, F.posexplode(udf(F.col(vec_q))).alias("table", "bucket")
+    )
+    ck = corpus.select(
+        id_c, F.posexplode(udf(F.col(vec_c))).alias("table", "bucket")
+    )
+    cand = (
+        F.broadcast(qk)
+        .join(ck, ["table", "bucket"])
+        .filter(F.col(id_q) != F.col(id_c))
+        .select(id_q, id_c)
+        .distinct()
+    )
+    scored = (
+        cand.join(F.broadcast(queries), id_q)
+        .join(corpus, id_c)
+        .withColumn("cos", cosine(vec_q, vec_c))
+    )
     w = Window.partitionBy(id_q).orderBy(F.desc("cos"), F.asc(id_c))
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter((F.col("rank") <= k) & (F.col(id_q) != F.col(id_c)))
+        .filter(F.col("rank") <= k)
         .select(id_q, id_c, "cos", "rank")
     )

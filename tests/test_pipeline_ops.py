@@ -181,6 +181,25 @@ class TestVectors:
         # near-dup vectors share every hyperplane side → LSH must find it
         assert any(r.q_id == 0 and r.c_id == 1 for r in got)
 
+    def test_lsh_ann_recall_floor(self, spark):
+        """Measured recall vs brute force on the real test corpus at
+        fixed seeds (round-3 verdict #8 — parity with the IVF pinned-
+        recall test): multi-table sizing targets recall ≥0.9 for
+        neighbors at cosine ≥0.5; overall top-5 recall measured 0.85
+        (tail neighbors sit below the target similarity, where the
+        collision bound is weaker).  Floor pinned at 0.75; results
+        deterministic (seeded planes)."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter("vec_id < 20").select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+        exact = {(r.q_id, r.c_id) for r in V.brute_force_topk(q, c, k=5).collect()}
+        lsh = {(r.q_id, r.c_id) for r in V.lsh_ann_topk(q, c, k=5).collect()}
+        again = {(r.q_id, r.c_id) for r in V.lsh_ann_topk(q, c, k=5).collect()}
+        assert lsh == again  # deterministic
+        assert len(lsh & exact) / len(exact) >= 0.75
+
 
 class TestIVF:
     def test_ivf_recall_vs_bruteforce(self, spark):
