@@ -199,6 +199,37 @@ def run_round(
     )
     n_batch = scheduled.count()  # the barrier count, moved up to steer
     write_through = n_batch >= cfg.write_through_min_batch
+
+    # ---- early write submission (round-3 verdict #7): the fetch_log
+    # append depends ONLY on the (already persisted + counted)
+    # scheduled batch, so it runs while the fetch/extraction/barrier
+    # phase computes — its ~1-2 s vanish into the setup wall.  Safe
+    # w.r.t. the round-2 cache-race lesson: its lineage reads nothing
+    # uncached that a barrier later populates.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=6)
+    _write_times: dict = {}
+
+    def _timed_write(name: str, fn):
+        def run():
+            s = time.time()
+            v = fn()
+            _write_times[name] = round(time.time() - s, 2)
+            return v
+
+        return run
+
+    fut_fetch_log = pool.submit(_timed_write("fetch_log", lambda: store.append(
+        "fetch_log",
+        scheduled.select(
+            throttle.throttle_key_expr(cfg).alias("throttle_key"),
+            "domain", "spiderid", "url",
+            F.lit(round_id).cast("long").alias("round"), "slot_ts",
+        ),
+        meta={"round": round_id},
+        coalesce=cfg.append_coalesce,
+    )))
     crawled_write = None
     _crawled_write_sec = 0.0
     if write_through:
@@ -305,31 +336,23 @@ def run_round(
         "frontier": lambda: store.overwrite(
             "frontier", new_frontier, partition_by=["bucket"], meta={"round": round_id}
         ),
-        "seen": lambda: store.append(
-            "seen",
-            seen_inserts.select(
-                "spiderid", "crawlid", "fingerprint",
-                F.lit(round_id).cast("long").alias("seen_round"), "bucket",
-            ),
-            meta={"round": round_id},
-            coalesce=cfg.append_coalesce,
-        ),
         # (large batches: crawled was already written above by the
         # write-through path; small batches append it concurrently
         # below.  'ok' duplicates 'success' as the partition dir so
-        # pages_crawled comes free from footers)
-        "fetch_log": lambda: store.append(
-            "fetch_log",
-            scheduled.select(
-                throttle.throttle_key_expr(cfg).alias("throttle_key"),
-                "domain", "spiderid", "url",
-                F.lit(round_id).cast("long").alias("round"), "slot_ts",
-            ),
+        # pages_crawled comes free from footers.  fetch_log was
+        # submitted early, before the barrier phase.)
+        # seen + page_counts share ONE Spark job (store.append_many):
+        # two fewer concurrent jobs contending for task slots with the
+        # frontier overwrite — the write window's critical path
+        "seen+page_counts": lambda: store.append_many(
+            {
+                "seen": seen_inserts.select(
+                    "spiderid", "crawlid", "fingerprint",
+                    F.lit(round_id).cast("long").alias("seen_round"), "bucket",
+                ),
+                "page_counts": deltas,
+            },
             meta={"round": round_id},
-            coalesce=cfg.append_coalesce,
-        ),
-        "page_counts": lambda: store.append(
-            "page_counts", deltas, meta={"round": round_id}, coalesce=cfg.append_coalesce
         ),
     }
     if crawled_write is not None:
@@ -357,33 +380,29 @@ def run_round(
             coalesce=1,
         )
 
-    from concurrent.futures import ThreadPoolExecutor
-
     profile: dict | None = (
         {"setup_sec": round(time.time() - t0, 2)}
         if os.environ.get("SPARK_GRAFT_PROFILE")
         else None
     )
 
-    def _timed(name: str, fn):
-        def run():
-            s = time.time()
-            v = fn()
-            if profile is not None:
-                profile[f"write_{name}_sec"] = round(time.time() - s, 2)
-            return v
-
-        return run
-
     if profile is not None and write_through:
         profile["write_crawled_sec"] = _crawled_write_sec
     t_writes = time.time()
-    with ThreadPoolExecutor(max_workers=len(writes)) as ex:
-        futures = {t: ex.submit(_timed(t, fn)) for t, fn in writes.items()}
+    try:
+        futures = {t: pool.submit(_timed_write(t, fn)) for t, fn in writes.items()}
         for t, fut in futures.items():
-            out_versions[t] = fut.result()
+            v = fut.result()
+            if isinstance(v, dict):  # append_many: one version per table
+                out_versions.update(v)
+            else:
+                out_versions[t] = v
+        out_versions["fetch_log"] = fut_fetch_log.result()
+    finally:
+        pool.shutdown(wait=True)
     if profile is not None:
         profile["writes_wall_sec"] = round(time.time() - t_writes, 2)
+        profile.update({f"write_{n}_sec": s for n, s in _write_times.items()})
 
     # ---- round stats from committed parquet footers (no Spark jobs)
     def _delta(table: str) -> list[str]:

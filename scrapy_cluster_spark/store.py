@@ -133,6 +133,70 @@ class SnapshotStore:
         new_files = self._stage(table, df, partition_by, coalesce, repartition)
         return self._commit(table, self.files(table) + new_files, meta)
 
+    def append_many(self, parts: dict[str, DataFrame], meta: dict | None = None) -> dict[str, int]:
+        """ONE Spark job appends several SMALL tables at once: the
+        frames are unioned under a tagged superset schema (columns
+        matched by name; absent columns null), written to a shared
+        staged dir partitioned by ``_tbl``, and each table's files are
+        committed to its own manifest.
+
+        Why: each write job pays full DAG-scheduling latency and task
+        slots; a round's three small appends (seen / fetch_log /
+        page_counts) run concurrently with the frontier overwrite and
+        contend with its tasks.  Merging them into one job removes two
+        jobs' worth of scheduling + slot pressure from the write window
+        (round-3 verdict next-round #7).  Readers are unaffected:
+        snapshot reads project their table's schema by name, so the
+        superset columns (null outside their table) are never seen.
+        Crash story unchanged — manifests commit per table, the lineage
+        row still gates round visibility."""
+        fields: dict = {}
+        for df in parts.values():
+            for f in df.schema.fields:
+                have = fields.get(f.name)
+                if have is not None and have.dataType != f.dataType:
+                    raise ValueError(
+                        f"append_many type conflict on column {f.name!r}: "
+                        f"{have.dataType} vs {f.dataType}"
+                    )
+                fields.setdefault(f.name, f)
+        cols = list(fields)
+        tagged = None
+        for name, df in parts.items():
+            from pyspark.sql import functions as F
+
+            proj = df.select(
+                *[
+                    (F.col(c) if c in df.columns else F.lit(None)).cast(
+                        fields[c].dataType
+                    ).alias(c)
+                    for c in cols
+                ],
+                F.lit(name).alias("_tbl"),
+            )
+            tagged = proj if tagged is None else tagged.unionByName(proj)
+        stage = os.path.join(self.root, "_multi", uuid.uuid4().hex[:12])
+        # one task per table (plus hash-collision slack): small appends
+        # need file-count control more than intra-table parallelism
+        tagged.repartition(max(2 * len(parts), 4), "_tbl").write.mode(
+            "overwrite"
+        ).partitionBy("_tbl").parquet(stage)
+        per_table: dict[str, list[str]] = {n: [] for n in parts}
+        for dirpath, _dirs, fnames in os.walk(stage):
+            tbl = None
+            for seg in dirpath.split(os.sep):
+                if seg.startswith("_tbl="):
+                    tbl = seg[5:]
+            if tbl is None:
+                continue
+            for fn in fnames:
+                if fn.endswith(".parquet"):
+                    per_table[tbl].append(os.path.join(dirpath, fn))
+        return {
+            name: self._commit(name, self.files(name) + sorted(files), meta)
+            for name, files in per_table.items()
+        }
+
     def overwrite(self, table: str, df: DataFrame, partition_by: list[str] | None = None,
                   meta: dict | None = None, coalesce: int | None = None) -> int:
         """Full-snapshot replace (Iceberg overwrite).  Old files remain for

@@ -60,11 +60,13 @@ def test_compaction_preserves_content_and_shrinks_files(store, pages, spark):
     feed_requests(
         store,
         [{"appid": "cmpapp", "crawlid": "cmp", "url": f"http://site{d}.com/page/0",
-          "priority": 50, "maxdepth": 2} for d in range(3)],
+          "priority": 50, "maxdepth": 3} for d in range(3)],
         cfg,
     )
-    run_crawl(store, pages, cfg, max_rounds=5)
+    run_crawl(store, pages, cfg, max_rounds=6)
     v_before = store.current_version("seen")
+    # (the merged seen+page_counts append writes ONE file per round with
+    # inserts, so a multi-round crawl accumulates exactly that many)
     files_before = len(store.files("seen"))
     rows_before = sorted(
         (r.spiderid, r.crawlid, r.fingerprint)
