@@ -19,6 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from scrapy_cluster_spark.functions import corpus as C
 from scrapy_cluster_spark.functions import dedup as D
 from scrapy_cluster_spark.functions import graph as G
 from scrapy_cluster_spark.functions import multimodal as M
@@ -301,6 +302,26 @@ def q_gopher_rules(spark, sf):
     )
 
 
+def q_stratified_sample(spark, sf):
+    """Reproducible per-(lang, source) quota sampling: md5-keyed rank
+    within each stratum, cap 20 — no rand(), so the sample is identical
+    across runs and cluster sizes (functions/corpus.py)."""
+    docs = _t(spark, sf, "documents")
+    return C.stratified_sample(docs, ["lang", "source"], 20).select(
+        "doc_id", "lang", "source", "stratum_rank"
+    )
+
+
+def q_shard_packing(spark, sf):
+    """Token-budget shard packing via a DISTRIBUTED prefix sum (chunked
+    offsets + per-chunk window — no single-partition global window);
+    oracle uses the naive global-window form, same result."""
+    docs = _t(spark, sf, "documents").withColumn("n_tokens", T.token_count("text"))
+    return C.pack_shards(
+        docs, "n_tokens", budget=5000, n_hint=_nrows(sf, "documents")
+    ).select("doc_id", "tokens_before", "shard_id")
+
+
 def q_neardup_clusters(spark, sf):
     """Transitive near-dup clustering: MinHash+LSH pairs (the scale
     path — banded candidates + exact-Jaccard verify, itself oracled
@@ -485,6 +506,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "winnow_fingerprints": q_winnow_fingerprints,
         "exact_dedup": q_exact_dedup,
+        "stratified_sample": q_stratified_sample,
+        "shard_packing": q_shard_packing,
         "neardup_clusters": q_neardup_clusters,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_neardup": q_minhash_neardup,
@@ -627,6 +650,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    len(string_split_regex(trim(text), '\\s+')) AS n_tokens
             FROM documents
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, source, stratum_rank FROM (
+              SELECT doc_id, lang, source,
+                     row_number() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY substring(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 8) ASC,
+                                doc_id ASC
+                     ) AS stratum_rank
+              FROM documents
+            ) WHERE stratum_rank <= 20
+        """,
+        "shard_packing": """
+            SELECT doc_id,
+                   tokens_before,
+                   CAST(floor(tokens_before / 5000.0) AS BIGINT) AS shard_id
+            FROM (
+              SELECT doc_id,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS tokens_before
+              FROM (
+                SELECT doc_id,
+                       len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+                FROM documents
+              )
+            )
         """,
         "doc_quality": f"""
             SELECT doc_id,

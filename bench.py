@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "pii_scrub",
     "gopher_rules",
     "winnow_fingerprints",
+    "stratified_sample",
+    "shard_packing",
     "neardup_clusters",
     "stats_windows",
     "minhash_neardup",

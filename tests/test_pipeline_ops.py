@@ -458,6 +458,61 @@ class TestGraphClustering:
         assert n_canonical == len(out) - 2  # 9 docs, 2 folded away
 
 
+class TestCorpusAssembly:
+    def _docs(self, spark, n=200):
+        import random
+
+        rng = random.Random(11)
+        rows = [
+            (i, " ".join(f"w{rng.randrange(50)}" for _ in range(rng.randrange(5, 40))),
+             ["en", "de", "fr"][i % 3], ["web", "wiki"][i % 2])
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+    def test_stratified_sample_caps_and_determinism(self, spark):
+        from scrapy_cluster_spark.functions import corpus as C
+
+        docs = self._docs(spark)
+        got = C.stratified_sample(docs, ["lang", "source"], 10).collect()
+        per = {}
+        for r in got:
+            per.setdefault((r.lang, r.source), []).append(r.doc_id)
+        assert all(len(v) <= 10 for v in per.values())
+        assert len(per) == 6  # every stratum represented
+        # reproducible across runs AND partitionings (no rand())
+        again = {
+            r.doc_id
+            for r in C.stratified_sample(docs.repartition(7), ["lang", "source"], 10).collect()
+        }
+        assert again == {r.doc_id for r in got}
+
+    def test_pack_shards_matches_naive_prefix_sum(self, spark):
+        """The distributed (chunked-offset) prefix sum equals the naive
+        global running sum, for any chunking."""
+        from pyspark.sql import functions as F
+
+        from scrapy_cluster_spark.functions import corpus as C
+        from scrapy_cluster_spark.functions import text as T
+
+        docs = self._docs(spark).withColumn("n_tokens", T.token_count("text"))
+        pdf = docs.select("doc_id", "n_tokens").toPandas().sort_values("doc_id")
+        naive_before = pdf["n_tokens"].cumsum().shift(fill_value=0)
+        expect = {
+            int(d): (int(b), int(b) // 100)
+            for d, b in zip(pdf["doc_id"], naive_before)
+        }
+        for n_parts in (3, 32):
+            got = {
+                r.doc_id: (r.tokens_before, r.shard_id)
+                for r in C.pack_shards(docs, "n_tokens", 100, n_parts=n_parts).collect()
+            }
+            assert got == expect
+        # shards are contiguous in id order and budget-bounded below
+        shards = sorted(set(s for _, s in expect.values()))
+        assert shards == list(range(len(shards)))
+
+
 class TestQuerySurfaceLifecycle:
     def test_repeated_queries_bound_executor_storage(self, spark):
         """Repeated invocations of the persist-backed queries hold at
