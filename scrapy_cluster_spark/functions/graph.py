@@ -112,7 +112,20 @@ def connected_components(
     spark = vertices.sparkSession
     owns_store = store is None
     if owns_store:
-        store = SnapshotStore(spark, tempfile.mkdtemp(prefix="scs-cc-"))
+        # tmpfs scratch when available: per-round snapshot commits on the
+        # ext4 /tmp disk suffer writeback interference (2-3x swings —
+        # BENCH/BASELINE.md noise protocol); production passes a durable
+        # `store` instead
+        import os
+
+        scratch_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        store = SnapshotStore(spark, tempfile.mkdtemp(prefix="scs-cc-", dir=scratch_root))
+        # the final label snapshot must outlive this call (the returned
+        # plan reads it), so the scratch dir can only be reclaimed at
+        # process exit — without this, repeated CC calls leak tmpfs RAM
+        import atexit
+
+        atexit.register(shutil.rmtree, store.root, ignore_errors=True)
     if algorithm == "star":
         labels, rounds, converged = _cc_star(spark, edges, src_col, dst_col, max_iter, store)
     elif algorithm == "label":
