@@ -31,6 +31,9 @@ KEY_QUERIES = [
     "pii_scrub",
     "gopher_rules",
     "neardup_clusters",
+    "stratified_sample",
+    "shard_packing",
+    "lsh_ann_topk",
 ]
 
 
