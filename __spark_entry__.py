@@ -176,12 +176,15 @@ def q_bitmap_unique(spark, sf):
 
 
 def q_hll_unique(spark, sf):
-    """HyperLogLogCounter (stats_collector.py:529-553): approx distinct —
+    """HyperLogLogCounter (stats_collector.py:529-553) via MERGEABLE
+    Datasketches state (hll_sketch_agg → estimate): the stored-sketch
+    shape that makes the lifetime counter O(new data) per round —
     approximate by design → rows-only check (no oracle)."""
+    from scrapy_cluster_spark.operators import stats as S
+
     li = _t(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.01).alias("uniq_approx")
-    )
+    sk = S.hll_sketch_rollup(li, ["l_returnflag"], "l_orderkey")
+    return S.hll_estimate(sk).withColumnRenamed("value", "uniq_approx")
 
 
 def q_stats_windows(spark, sf):

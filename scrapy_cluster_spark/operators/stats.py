@@ -81,6 +81,37 @@ def lifetime_unique(events: DataFrame, col: str, rsd: float = 0.01) -> DataFrame
     return events.agg(F.approx_count_distinct(col, rsd).alias("value"))
 
 
+def hll_sketch_rollup(events: DataFrame, key_cols: list[str], value_col: str,
+                      lg_k: int = 12) -> DataFrame:
+    """Mergeable HLL state per key — the reference's incrementally
+    PFADD-ed Redis HLL keys (stats_collector.py:529-553) as a
+    persistable BINARY Datasketches column: each round sketches only
+    its DELTA, ``hll_merge`` unions stored sketches across rounds (and,
+    on a cluster, across executors/machines), ``hll_estimate`` reads
+    the count out.  This is what makes the lifetime-unique counter
+    O(new data) per round at 10^10 URLs: ``lifetime_unique`` rescans
+    history; a stored sketch never does."""
+    return events.groupBy(*key_cols).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("hll_sketch")
+    )
+
+
+def hll_merge(sketches: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Union per-round/per-machine sketch rows into one sketch per key
+    (Redis PFMERGE analog); associative + commutative, so any merge
+    tree — map-side partials included — gives the same registers."""
+    return sketches.groupBy(*key_cols).agg(
+        F.hll_union_agg("hll_sketch").alias("hll_sketch")
+    )
+
+
+def hll_estimate(sketches: DataFrame) -> DataFrame:
+    """PFCOUNT analog: estimate column alongside the keys."""
+    return sketches.withColumn(
+        "value", F.hll_sketch_estimate("hll_sketch")
+    ).drop("hll_sketch")
+
+
 def exact_unique(events: DataFrame, col: str) -> DataFrame:
     """UniqueCounter (SADD/SCARD, stats_collector.py:503-526)."""
     return events.agg(F.countDistinct(col).alias("value"))

@@ -105,3 +105,36 @@ def test_wander_mode(spark, pages):
         fetch.assemble_items(fetch.fetch_batch(batch, pages), 1, 60), seed=42
     ).collect()
     assert again[0].url == kids[0].url
+
+
+def test_hll_sketch_incremental_merge_equals_batch(spark):
+    """Mergeable HLL state (PFADD/PFMERGE analog): per-chunk sketches
+    unioned with hll_merge produce the SAME estimate as one batch
+    sketch over everything (associative registers), and the estimate is
+    within HLL error of the exact count — the property that makes the
+    lifetime-unique counter incremental (O(new data) per round) instead
+    of a history rescan."""
+    from scrapy_cluster_spark.operators import stats as S
+
+    def tagged(df):
+        return df.selectExpr("id % 4 as k", "concat('u', id % 2500) as v")
+
+    whole = {
+        r.k: r.value
+        for r in S.hll_estimate(
+            S.hll_sketch_rollup(tagged(spark.range(10_000)), ["k"], "v")
+        ).collect()
+    }
+    chunks = [
+        S.hll_sketch_rollup(tagged(spark.range(i, 10_000, 3)), ["k"], "v")
+        for i in range(3)
+    ]
+    merged = {
+        r.k: r.value
+        for r in S.hll_estimate(
+            S.hll_merge(chunks[0].unionAll(chunks[1]).unionAll(chunks[2]), ["k"])
+        ).collect()
+    }
+    assert merged == whole  # identical registers, not just close
+    exact = 625  # per k: ids in one residue class mod 4 hit 625 of the 2500 v values
+    assert all(abs(v - exact) / exact < 0.05 for v in whole.values())
