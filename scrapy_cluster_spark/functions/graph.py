@@ -28,10 +28,13 @@ Per-round state is checkpointed RELIABLY through a SnapshotStore temp
 table (parquet + atomic manifest — the same store the frontier uses),
 not ``localCheckpoint``: local checkpoints live in executor
 memory/disk, so on a real cluster one lost executor kills the whole
-iterative job; snapshot files on shared storage survive it, and the
-convergence loop can resume from the last committed round.  Rolling
-``expire_snapshots`` bounds scratch space to the last two rounds.
-Deterministic: labels are ids, min is order-free.
+iterative job; with snapshot files on shared storage Spark simply
+re-reads the lost partitions and the loop continues.  (Driver loss
+still restarts the loop from the input edges — per-job resume would
+need the caller to thread a run id; the per-round commits make that a
+small extension, not a redesign.)  Rolling ``expire_snapshots``
+bounds scratch space to the last two rounds.  Deterministic: labels
+are ids, min is order-free.
 """
 
 from __future__ import annotations

@@ -132,3 +132,47 @@ def test_windowed_stats_stream_lands_in_metrics(store, spark):
     )
     got = {(r.kind, r.value) for r in rows}
     assert got == {("status_200", 1.0), ("status_404", 1.0)}  # the closed 00:00 window
+
+
+def test_stateful_politeness_gate_across_restart(spark):
+    """Custom stateful streaming operator (applyInPandasWithState): the
+    per-domain politeness budget admits only `hits` fetches per window,
+    order-dependent within the window — not expressible as a windowed
+    agg — and the budget state SURVIVES a query restart through the
+    streaming checkpoint (redis_throttled_queue.py:140-214 semantics)."""
+    import json
+    import os
+    import tempfile
+
+    from scrapy_cluster_spark.streaming.throttle_stream import stream_politeness_gate
+
+    tmp = tempfile.mkdtemp(prefix="scs-gate-")
+    ev_dir = os.path.join(tmp, "events")
+    os.makedirs(ev_dir)
+
+    def emit(name, rows):
+        with open(os.path.join(ev_dir, name), "w") as f:
+            for ts, dom, url in rows:
+                f.write(json.dumps({"ts": ts, "domain": dom, "url": url}) + "\n")
+
+    got: list = []
+    # window 0 (ts<60): 4 events for d1 against hits=3 → first 3 admitted
+    emit("b1.json", [(10.0, "d1", "u1"), (11.0, "d1", "u2"), (12.0, "d1", "u3"),
+                     (13.0, "d1", "u4"), (10.0, "d2", "v1")])
+    q = stream_politeness_gate(spark, ev_dir, os.path.join(tmp, "ckpt"),
+                               hits=3, window_s=60, on_batch=got.extend)
+    q.awaitTermination(120)
+    adm = {r.url: r.admitted for r in got}
+    assert adm == {"u1": True, "u2": True, "u3": True, "u4": False, "v1": True}
+
+    # RESTART, same checkpoint, same window: d1's budget is exhausted
+    # from the previous run — new events must be rejected; a new window
+    # (ts>=60) resets the budget
+    got2: list = []
+    emit("b2.json", [(20.0, "d1", "u5"), (21.0, "d1", "u6"),
+                     (65.0, "d1", "u7"), (20.0, "d2", "v2")])
+    q2 = stream_politeness_gate(spark, ev_dir, os.path.join(tmp, "ckpt"),
+                                hits=3, window_s=60, on_batch=got2.extend)
+    q2.awaitTermination(120)
+    adm2 = {r.url: r.admitted for r in got2}
+    assert adm2 == {"u5": False, "u6": False, "u7": True, "v2": True}
