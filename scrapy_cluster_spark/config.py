@@ -54,6 +54,13 @@ class EngineConfig:
     use_cuckoo: bool = False
     cuckoo_m: int = 1 << 16
     cuckoo_slots: int = 4
+    # Frontier merge scope: True rewrites ONLY buckets the round
+    # scheduled from or inserted into (store.overwrite_partitions —
+    # Iceberg dynamic-partition MERGE analog, O(touched) per round);
+    # False rewrites the whole table.  Content-identical (e2e A/B test);
+    # at 10^10 URLs / 1024 buckets a politeness-bounded round touches a
+    # fraction of the buckets, so partial is the scale default.
+    frontier_partial_merge: bool = True
     # Fetch-join miss recovery: False (default) anti-joins the scheduled
     # batch against the column-pruned pages url scan — nothing
     # html-bearing is persisted (persisting corpus-sized hits was the

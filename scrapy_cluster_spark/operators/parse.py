@@ -222,6 +222,8 @@ def wander_candidates(items: DataFrame, seed: int = 42) -> DataFrame:
 def retry_candidates(items: DataFrame, cfg: EngineConfig) -> DataFrame:
     """Failed fetches → retry rows (dont_filter=True skips the dupe
     probe, distributed_scheduler.py:420)."""
+    from scrapy_cluster_spark.operators.ingest import bucket_expr
+
     return (
         items.filter(~F.col("success"))
         .withColumn("retry_times", F.col("retry_times") + 1)
@@ -229,4 +231,8 @@ def retry_candidates(items: DataFrame, cfg: EngineConfig) -> DataFrame:
         .withColumn("priority", F.col("priority") - F.lit(cfg.priority_decay))
         .withColumn("dont_filter", F.lit(True))
         .withColumn("source", F.lit("retry"))
+        # items rows do not carry the frontier's physical partition key —
+        # recompute it or retry rows land in the null partition and lose
+        # bucket pruning (surfaced by the partial frontier merge)
+        .withColumn("bucket", bucket_expr("domain", cfg.frontier_buckets))
     )

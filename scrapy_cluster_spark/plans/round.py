@@ -300,10 +300,40 @@ def run_round(
     accepted = limits.apply_zk_domain_filter(accepted, domain_config, cfg.backlog_blacklist)
     accepted = accepted.select(*[f.name for f in FRONTIER_SCHEMA.fields])
 
-    # ---- frontier merge: old − scheduled + accepted
+    # ---- frontier merge: old − scheduled + accepted.  Rows in buckets
+    # the round neither scheduled from nor inserted into are unchanged,
+    # so the partial path rewrites only the touched buckets and carries
+    # the rest of the pinned snapshot's files into the new manifest
+    # (store.overwrite_partitions).
     row_key = ["spiderid", "crawlid", "fingerprint", "retry_times", "inserted_round"]
     remaining = frontier.join(scheduled.select(*row_key), row_key, "left_anti")
     new_frontier = remaining.unionByName(accepted)
+
+    def _write_frontier():
+        if not cfg.frontier_partial_merge:
+            return store.overwrite(
+                "frontier", new_frontier, partition_by=["bucket"], meta={"round": round_id}
+            )
+        # touched = buckets of popped rows ∪ buckets of accepted rows —
+        # two tiny distinct jobs over cached/persisted plans (≤
+        # frontier_buckets values each)
+        touched = {
+            r["bucket"]
+            for r in scheduled.select("bucket").distinct().collect()
+        } | {r["bucket"] for r in accepted.select("bucket").distinct().collect()}
+        has_null = None in touched  # defensive: all producers set bucket
+        touched.discard(None)
+        cond = F.col("bucket").isin(*sorted(touched)) if touched else F.lit(False)
+        if has_null:
+            cond = cond | F.col("bucket").isNull()
+        return store.overwrite_partitions(
+            "frontier",
+            new_frontier.filter(cond),
+            "bucket",
+            sorted(touched) + ([None] if has_null else []),
+            meta={"round": round_id, "touched_buckets": len(touched) + int(has_null)},
+            base_version=pins["frontier"],
+        )
 
     # ---- materialization barriers: populate each cache once, in
     # dependency order, BEFORE the concurrent write jobs.  Without
@@ -333,9 +363,7 @@ def run_round(
         deltas = deltas.unionByName(global_deltas)
 
     writes = {
-        "frontier": lambda: store.overwrite(
-            "frontier", new_frontier, partition_by=["bucket"], meta={"round": round_id}
-        ),
+        "frontier": _write_frontier,
         # (large batches: crawled was already written above by the
         # write-through path; small batches append it concurrently
         # below.  'ok' duplicates 'success' as the partition dir so

@@ -96,7 +96,21 @@ class SnapshotStore:
             df = df.coalesce(coalesce)
         writer = df.write.mode("overwrite")
         if partition_by:
-            writer = writer.partitionBy(*partition_by)
+            # partition on MIRROR columns (_p_<name>) so the original
+            # column stays in the file data: snapshot reads resolve an
+            # explicit file list with an explicit schema, and Spark only
+            # reconstructs partition values from dir names under a
+            # basePath read — with per-append staging roots there is no
+            # single basePath, so a dir-only partition column would read
+            # back NULL (real Iceberg stores partition values in table
+            # metadata; keeping the column in-file is the
+            # manifest-store equivalent)
+            from pyspark.sql import functions as F
+
+            mirrors = [f"_p_{c}" for c in partition_by]
+            for c, m in zip(partition_by, mirrors):
+                df = df.withColumn(m, F.col(c))
+            writer = df.write.mode("overwrite").partitionBy(*mirrors)
         writer.parquet(stage)
         out: list[str] = []
         for dirpath, _dirs, fnames in os.walk(stage):
@@ -203,6 +217,44 @@ class SnapshotStore:
         time travel until a retention job removes expired snapshots."""
         new_files = self._stage(table, df, partition_by, coalesce)
         return self._commit(table, new_files, meta)
+
+    def overwrite_partitions(self, table: str, df: DataFrame, partition_col: str,
+                             touched: list, meta: dict | None = None,
+                             base_version: int | None = None) -> int:
+        """Partition-scoped overwrite (Iceberg dynamic-partition MERGE
+        analog): rewrite ONLY the ``touched`` partition values of
+        ``partition_col``; every other partition's files carry over
+        into the new manifest untouched.
+
+        This is what makes the per-round frontier merge O(touched
+        buckets) instead of O(frontier): at 10^10 URLs with 1024 domain
+        buckets, a politeness-bounded round touches the buckets it
+        scheduled from or inserted into — often a small fraction — and
+        rewriting the rest is pure wasted IO.  ``df`` must already be
+        filtered to the touched partitions (asserted cheaply via the
+        staged file paths).  ``base_version`` pins which snapshot the
+        untouched files carry over from (a round merging against pinned
+        reads passes its pin so the commit is consistent with them)."""
+        # null partition values land in Spark's default-partition dir
+        touched_set = {
+            "__HIVE_DEFAULT_PARTITION__" if t is None else str(t) for t in touched
+        }
+        prefix = f"_p_{partition_col}="  # _stage's mirror partition dirs
+        new_files = self._stage(table, df, [partition_col])
+        for f in new_files:
+            seg = next((s for s in f.split(os.sep) if s.startswith(prefix)), None)
+            assert seg is not None and seg.split("=", 1)[1] in touched_set, (
+                f"overwrite_partitions: staged file outside touched set: {f}"
+            )
+        keep = [
+            f
+            for f in self.files(table, base_version)
+            if not any(
+                s.startswith(prefix) and s.split("=", 1)[1] in touched_set
+                for s in f.split(os.sep)
+            )
+        ]
+        return self._commit(table, keep + new_files, meta)
 
     def count(self, table: str, version: int | None = None) -> int:
         """Row count from parquet footers — no data scan."""

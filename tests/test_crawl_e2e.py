@@ -327,3 +327,41 @@ def test_write_through_equals_cached_materialization(spark, pages):
     cached = run(EngineConfig())                        # small path
     wt = run(EngineConfig(write_through_min_batch=0))   # forced write-through
     assert wt == cached and len(cached[0]) > 1
+
+
+def test_partial_frontier_merge_equals_full(spark, pages):
+    """cfg.frontier_partial_merge (store.overwrite_partitions — the
+    dynamic-partition MERGE analog) rewrites only touched buckets; the
+    committed frontier, fetch sequence, and crawled set are identical
+    to the full-overwrite path across a multi-round crawl."""
+    import shutil
+    import tempfile
+
+    from scrapy_cluster_spark.config import EngineConfig
+    from scrapy_cluster_spark.schemas import CRAWLED_SCHEMA, FETCH_LOG_SCHEMA, FRONTIER_SCHEMA
+    from scrapy_cluster_spark.store import SnapshotStore
+    from scrapy_cluster_spark.synth import seed_requests
+
+    outs = {}
+    for partial in (False, True):
+        cfg = EngineConfig(frontier_partial_merge=partial, queue_hits=3)
+        tmp = tempfile.mkdtemp(prefix=f"scs-pm-{partial}-")
+        store = SnapshotStore(spark, tmp)
+        feed_requests(store, seed_requests(3, maxdepth=2), cfg)
+        run_crawl(store, pages, cfg, max_rounds=4)
+        outs[partial] = (
+            sorted(
+                (r.spiderid, r.crawlid, r.fingerprint, r.retry_times)
+                for r in store.read("frontier", FRONTIER_SCHEMA).collect()
+            ),
+            sorted(
+                (r.domain, r.round, r.slot_ts, r.url)
+                for r in store.read("fetch_log", FETCH_LOG_SCHEMA).collect()
+            ),
+            sorted(
+                (r.url, r.round)
+                for r in store.read("crawled", CRAWLED_SCHEMA).collect()
+            ),
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert outs[False] == outs[True]
