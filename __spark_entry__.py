@@ -325,6 +325,24 @@ def q_shard_packing(spark, sf):
     ).select("doc_id", "tokens_before", "shard_id")
 
 
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination: docs 0-4 play the eval set; every
+    training doc (id ≥ 5) sharing a 3-gram shingle with them is
+    flagged.  Broadcast equi-join on the shingle — no pairwise scan."""
+    docs = _t(spark, sf, "documents")
+    return C.contamination_flags(
+        docs.filter(F.col("doc_id") >= 5), docs.filter(F.col("doc_id") < 5)
+    )
+
+
+def q_source_rollup(spark, sf):
+    """Per-source curation stats (RefinedWeb-style domain filtering
+    signal): doc count, token volume, mean quality, exact-dup
+    fraction."""
+    docs = _t(spark, sf, "documents")
+    return C.source_quality_rollup(docs)
+
+
 def q_neardup_clusters(spark, sf):
     """Transitive near-dup clustering: MinHash+LSH pairs (the scale
     path — banded candidates + exact-Jaccard verify, itself oracled
@@ -511,6 +529,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "stratified_sample": q_stratified_sample,
         "shard_packing": q_shard_packing,
+        "decontaminate": q_decontaminate,
+        "source_rollup": q_source_rollup,
         "neardup_clusters": q_neardup_clusters,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_neardup": q_minhash_neardup,
@@ -664,6 +684,57 @@ def oracle_sql() -> dict[str, str]:
                      ) AS stratum_rank
               FROM documents
             ) WHERE stratum_rank <= 20
+        """,
+        "decontaminate": """
+            WITH words AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(w) < 3 THEN []::VARCHAR[]
+                     ELSE list_transform(generate_series(1, len(w) - 2),
+                                         i -> array_to_string(w[i:i+2], ' '))
+                END)) AS s
+              FROM words
+            ),
+            bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
+            hits AS (
+              SELECT sh.doc_id, count(DISTINCT sh.s) AS n_hits
+              FROM sh JOIN bench ON sh.s = bench.s
+              WHERE sh.doc_id >= 5 GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   COALESCE(h.n_hits, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id >= 5
+        """,
+        "source_rollup": """
+            WITH per AS (
+              SELECT source,
+                     len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                     round(
+                       least(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0)
+                       * (0.5
+                          + 0.25 * (1.0 - least(
+                              (len(regexp_extract_all(text, '[.,!?;:]'))
+                               / greatest(length(text), 1)) * 5.0, 1.0))
+                          + 0.25 * least(
+                              (len(list_filter(
+                                 list_transform(string_split_regex(trim(text), '\\s+'), w -> lower(w)),
+                                 w -> list_contains(""" + _EN + """, w)))
+                               / greatest(len(string_split_regex(trim(text), '\\s+')), 1)) * 10.0,
+                              1.0))
+                     , 6) AS q,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+              FROM documents
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   round(avg(q), 4) AS mean_quality,
+                   round((count(*) - count(DISTINCT fp)) / count(*), 6) AS dup_fraction
+            FROM per GROUP BY source
         """,
         "shard_packing": """
             SELECT doc_id,

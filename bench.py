@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "winnow_fingerprints",
     "stratified_sample",
     "shard_packing",
+    "decontaminate",
+    "source_rollup",
     "neardup_clusters",
     "stats_windows",
     "minhash_neardup",

@@ -117,3 +117,80 @@ def pack_shards(
         .withColumn("shard_id", F.floor(F.col("tokens_before") / F.lit(budget)))
         .drop("_chunk", "_chunk_offset")
     )
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination (the n-gram-overlap stage of public
+    training-data pipelines, e.g. GPT-3 §C / Gopher §A.2): flag every
+    training doc sharing ≥ ``min_hits`` distinct k-gram shingles with
+    any benchmark/eval text.
+
+    Plan shape at 100 TB: explode both sides to (shingle) rows and
+    EQUI-join on the shingle — the benchmark side is small (eval sets),
+    so the join broadcasts and the corpus side stays a scan; no
+    pairwise comparison ever materializes.  Returns
+    (id, n_hits, contaminated) for every training doc."""
+    from scrapy_cluster_spark.functions.text import word_shingles
+
+    doc_sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, shingle_k)).alias("sh")
+    )
+    bench_sh = benchmark.select(
+        F.explode(word_shingles(text_col, shingle_k)).alias("sh")
+    ).distinct()
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("id")
+        .agg(F.count_distinct("sh").alias("n_hits"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
+def source_quality_rollup(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source corpus curation stats (the domain-level filtering
+    signal of RefinedWeb-style pipelines): doc count, token volume,
+    mean quality, and exact-duplicate fraction per source — the table
+    a curator thresholds to drop low-quality sources wholesale.
+    Pure aggregations: one shuffle on the group key at any scale."""
+    from scrapy_cluster_spark.functions.text import (
+        doc_fingerprint,
+        quality_score,
+        token_count,
+    )
+
+    per_doc = docs.select(
+        F.col(group_col).alias("grp"),
+        token_count(text_col).alias("n_tokens"),
+        quality_score(text_col).alias("q"),
+        doc_fingerprint(text_col).alias("fp"),
+    )
+    return per_doc.groupBy("grp").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        # 4 dp: the mean of ~n 6-dp doubles differs between engines at
+        # ~1e-15 from summation order; 4 dp keeps the oracle hash exact
+        F.round(F.avg("q"), 4).alias("mean_quality"),
+        F.round(
+            (F.count("*") - F.count_distinct("fp")) / F.count("*"), 6
+        ).alias("dup_fraction"),
+    ).withColumnRenamed("grp", group_col)

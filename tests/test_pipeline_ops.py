@@ -487,6 +487,41 @@ class TestCorpusAssembly:
         }
         assert again == {r.doc_id for r in got}
 
+    def test_contamination_flags(self, spark):
+        from scrapy_cluster_spark.functions import corpus as C
+
+        bench = spark.createDataFrame(
+            [(0, "the quick brown fox jumps over the lazy dog")],
+            ["doc_id", "text"],
+        )
+        docs = spark.createDataFrame(
+            [(10, "i saw the quick brown fox yesterday morning"),  # shares shingles
+             (11, "completely unrelated text about spark plans here"),
+             (12, "short")],  # <k tokens → no shingles, clean
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id: (r.n_hits, r.contaminated)
+               for r in C.contamination_flags(docs, bench).collect()}
+        assert got[10][1] and got[10][0] >= 2  # "the quick brown", "quick brown fox"
+        assert got[11] == (0, False)
+        assert got[12] == (0, False)
+
+    def test_source_quality_rollup_dup_fraction(self, spark):
+        from scrapy_cluster_spark.functions import corpus as C
+
+        docs = spark.createDataFrame(
+            [(0, "alpha beta gamma delta", "web"),
+             (1, "alpha  beta gamma delta ", "web"),   # whitespace-normalized dup
+             (2, "something else entirely", "web"),
+             (3, "wiki text one", "wiki")],
+            ["doc_id", "text", "source"],
+        )
+        got = {r.source: r for r in C.source_quality_rollup(docs).collect()}
+        assert got["web"].n_docs == 3
+        assert abs(got["web"].dup_fraction - 1 / 3) < 1e-6
+        assert got["wiki"].n_docs == 1 and got["wiki"].dup_fraction == 0.0
+        assert got["web"].total_tokens == 11
+
     def test_pack_shards_matches_naive_prefix_sum(self, spark):
         """The distributed (chunked-offset) prefix sum equals the naive
         global running sum, for any chunking."""
