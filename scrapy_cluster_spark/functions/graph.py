@@ -171,30 +171,47 @@ def _cleanup_scratch(store: SnapshotStore) -> None:
     assert all(os.path.exists(f) for f in keep)
 
 
-def _commit_round(store: SnapshotStore, df: DataFrame) -> DataFrame:
+def _commit_round(store: SnapshotStore, df: DataFrame) -> tuple[DataFrame, tuple]:
     """Reliable checkpoint: write this round's edge set as a snapshot,
     read it back (lineage now = parquet files on the store's storage),
-    expire rounds older than the previous one."""
-    store.overwrite("cc_edges", df)
+    expire rounds older than the previous one.
+
+    Returns (snapshot_df, (count, xor-digest)).  The digest rides the
+    WRITE job via ``observe`` — zero extra Spark jobs — and screens for
+    convergence: unequal (count, digest) proves the edge set changed,
+    so the loop only pays an exact set-difference job on the one round
+    where the digest stabilizes."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(hi, lo))"), F.lit(0)).alias("dig"),
+    )
+    store.overwrite("cc_edges", observed)
     out = store.read("cc_edges", df.schema)
     store.expire_snapshots("cc_edges", keep_last=2)
-    return out
+    m = obs.get
+    return out, (m["n"], m["dig"])
 
 
 def _cc_star(spark, edges, src_col, dst_col, max_iter, store):
     """Alternating large-star/small-star to the star fixpoint."""
-    e = _commit_round(store, _canonical_edges(edges, src_col, dst_col))
-    n_edges = store.count("cc_edges")
-    converged = n_edges == 0
+    e, sig = _commit_round(store, _canonical_edges(edges, src_col, dst_col))
+    converged = sig[0] == 0
     rounds = 0
     while not converged and rounds < max_iter:
         rounds += 1
-        e2 = _commit_round(store, _small_star(_large_star(e)))
-        n2 = store.count("cc_edges")  # parquet footers — no scan job
-        # fixpoint ⇔ same edge SET: both sides are distinct sets, so
-        # equal counts + empty difference suffices (one shuffle job)
-        converged = n2 == n_edges and e2.exceptAll(e).limit(1).count() == 0
-        e, n_edges = e2, n2
+        e2, sig2 = _commit_round(store, _small_star(_large_star(e)))
+        # digest equal ⇒ probably the fixpoint: confirm EXACTLY with one
+        # set-difference job (both sides are distinct sets, so equal
+        # count + empty difference ⇔ equal sets); digest unequal ⇒
+        # definitely changed, no job needed
+        converged = (
+            sig2 == sig and e2.exceptAll(e).limit(1).count() == 0
+        )
+        e, sig = e2, sig2
     # at the fixpoint e is a union of stars (hi → component min); the
     # min() is a no-op then, but keeps labels consistent on the
     # non-converged warning path
