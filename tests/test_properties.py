@@ -137,3 +137,50 @@ def test_bitmap_counter_property(spark, idxs, n_groups):
         for r in df.groupBy("grp").agg(F.countDistinct("idx").alias("d")).collect()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=40),
+       st.integers(min_value=1, max_value=200),
+       st.integers(min_value=1, max_value=7))
+def test_pack_shards_property(spark, token_counts, budget, n_parts):
+    """pack_shards ≡ the naive global exclusive prefix sum for ANY
+    token distribution / budget / chunking: tokens_before is the exact
+    running sum and shard_id its floor-div — the distributed prefix sum
+    may never drift from the sequential contract."""
+    from scrapy_cluster_spark.functions.corpus import pack_shards
+
+    df = spark.createDataFrame(
+        [(i, int(t)) for i, t in enumerate(token_counts)], "doc_id long, n long"
+    )
+    got = {r.doc_id: (r.tokens_before, r.shard_id)
+           for r in pack_shards(df, "n", budget, n_parts=n_parts).collect()}
+    acc = 0
+    for i, t in enumerate(token_counts):
+        assert got[i] == (acc, acc // budget)
+        acc += t
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=500),
+                          st.sampled_from(["en", "de", "fr"])),
+                min_size=1, max_size=50, unique_by=lambda t: t[0]),
+       st.integers(min_value=1, max_value=5))
+def test_stratified_sample_property(spark, rows, cap):
+    """For any id/stratum distribution: per-stratum counts =
+    min(stratum size, cap), and the selection is a pure function of
+    (seed, ids) — identical under arbitrary repartitioning."""
+    from collections import Counter
+
+    from scrapy_cluster_spark.functions.corpus import stratified_sample
+
+    df = spark.createDataFrame([(i, s) for i, s in rows], "doc_id long, lang string")
+    got = stratified_sample(df, ["lang"], cap).collect()
+    sizes = Counter(s for _, s in rows)
+    per = Counter(r.lang for r in got)
+    assert per == Counter({s: min(n, cap) for s, n in sizes.items() if min(n, cap)})
+    again = {r.doc_id for r in
+             stratified_sample(df.repartition(5), ["lang"], cap).collect()}
+    assert again == {r.doc_id for r in got}
