@@ -61,6 +61,10 @@ class EngineConfig:
     # at 10^10 URLs / 1024 buckets a politeness-bounded round touches a
     # fraction of the buckets, so partial is the scale default.
     frontier_partial_merge: bool = True
+    # Snapshots retained by the maintenance pass's frontier GC
+    # (expire_snapshots): resume only needs the last lineage-committed
+    # version; the margin covers a compaction landing mid-crash.
+    snapshot_keep_last: int = 5
     # Fetch-join miss recovery: False (default) anti-joins the scheduled
     # batch against the column-pruned pages url scan — nothing
     # html-bearing is persisted (persisting corpus-sized hits was the

@@ -112,6 +112,13 @@ def compact_state(store: SnapshotStore, cfg: EngineConfig = DEFAULT_CONFIG) -> d
         after = store.compact(t, schemas[t], min_files=cfg.compact_min_files)
         if after != before:
             changed[t] = after
+    # frontier snapshot GC: the frontier commits a new snapshot every
+    # round (full or partition-scoped overwrite), so without expiry a
+    # long crawl retains O(rounds × frontier) dead files — Iceberg's
+    # expire_snapshots run on the same maintenance cadence.  keep_last
+    # covers resume (which rolls back to the LAST lineage version) with
+    # margin; files shared with kept manifests are never deleted.
+    store.expire_snapshots("frontier", keep_last=cfg.snapshot_keep_last)
     prev = last_lineage(store)
     _commit_lineage(
         store,

@@ -128,3 +128,48 @@ def test_crawl_resumes_across_compaction(spark, pages):
         return out
 
     assert crawl(split=2) == crawl(split=None)
+
+
+def test_frontier_snapshot_gc_bounds_files(spark, pages):
+    """A long crawl with the maintenance pass on a cadence keeps the
+    frontier's dead snapshot files bounded (expire_snapshots in
+    compact_state) while the live snapshot and resume behavior are
+    untouched."""
+    import os
+    import shutil
+    import tempfile
+
+    from scrapy_cluster_spark.plans.crawl import feed_requests, run_crawl
+    from scrapy_cluster_spark.schemas import FRONTIER_SCHEMA
+    from scrapy_cluster_spark.store import SnapshotStore
+    from scrapy_cluster_spark.synth import seed_requests
+
+    cfg = EngineConfig(compact_every=2, compact_min_files=4, snapshot_keep_last=3)
+    tmp = tempfile.mkdtemp(prefix="scs-gc-")
+    store = SnapshotStore(spark, tmp)
+    feed_requests(store, seed_requests(3, maxdepth=3), cfg)
+    run_crawl(store, pages, cfg, max_rounds=6)
+
+    # manifests beyond keep_last are gone; current snapshot reads fine
+    import glob
+
+    manifests = sorted(glob.glob(os.path.join(tmp, "frontier", "manifests", "*.json")))
+    assert len(manifests) <= cfg.snapshot_keep_last + 2  # GC cadence margin
+    live = set(store.files("frontier"))
+    assert all(os.path.exists(f) for f in live)
+    store.read("frontier", FRONTIER_SCHEMA).count()  # readable
+    # every on-disk frontier data file is referenced by a KEPT manifest
+    # (dead files from expired snapshots were physically deleted)
+    import json as _json
+
+    kept_refs: set = set()
+    for m in manifests:
+        with open(m) as f:
+            kept_refs.update(_json.load(f)["files"])
+    on_disk = {
+        os.path.join(dp, fn)
+        for dp, _d, fns in os.walk(os.path.join(tmp, "frontier", "data"))
+        for fn in fns if fn.endswith(".parquet")
+    }
+    assert on_disk <= kept_refs
+    shutil.rmtree(tmp, ignore_errors=True)
