@@ -99,6 +99,7 @@ def connected_components(
     algorithm: str = "star",
     store: SnapshotStore | None = None,
     stats: dict | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """(id, component) where component = min id reachable over the
     undirected edge set.  Isolated vertices label themselves.
@@ -106,8 +107,13 @@ def connected_components(
     ``store``: SnapshotStore for per-round reliable checkpoints; when
     None a process-temp store is created (production passes a durable
     location — HDFS/S3-backed — so the loop survives executor loss and
-    resumes from the last committed round).  ``stats`` (optional dict)
-    is filled with {"rounds": k, "converged": bool}.
+    resumes from the last committed round).  ``resume=True`` with a
+    caller-provided store continues the STAR loop from the last
+    committed ``cc_edges`` snapshot instead of the input edges — the
+    driver-loss recovery path (the caller guarantees the input edge
+    set is the same run; one extra confirm round re-establishes the
+    convergence digest).  ``stats`` (optional dict) is filled with
+    {"rounds": k, "converged": bool}.
 
     Raises a warning (and labels best-effort) if the fixpoint is not
     reached within ``max_iter`` — silent non-convergence would hand out
@@ -130,7 +136,10 @@ def connected_components(
 
         atexit.register(shutil.rmtree, store.root, ignore_errors=True)
     if algorithm == "star":
-        labels, rounds, converged = _cc_star(spark, edges, src_col, dst_col, max_iter, store)
+        labels, rounds, converged = _cc_star(
+            spark, edges, src_col, dst_col, max_iter, store,
+            resume=resume and not owns_store,
+        )
     elif algorithm == "label":
         labels, rounds, converged = _cc_label_prop(spark, edges, src_col, dst_col, max_iter, store)
     else:
@@ -196,10 +205,18 @@ def _commit_round(store: SnapshotStore, df: DataFrame) -> tuple[DataFrame, tuple
     return out, (m["n"], m["dig"])
 
 
-def _cc_star(spark, edges, src_col, dst_col, max_iter, store):
+def _cc_star(spark, edges, src_col, dst_col, max_iter, store, resume=False):
     """Alternating large-star/small-star to the star fixpoint."""
-    e, sig = _commit_round(store, _canonical_edges(edges, src_col, dst_col))
-    converged = sig[0] == 0
+    canonical = _canonical_edges(edges, src_col, dst_col)
+    if resume and store.exists("cc_edges"):
+        # continue from the last committed round; the digest is unknown
+        # (it rode the original writer's observe), so sig=None forces at
+        # least one round + the exact confirm to re-establish it
+        e, sig = store.read("cc_edges", canonical.schema), None
+        converged = False
+    else:
+        e, sig = _commit_round(store, canonical)
+        converged = sig[0] == 0
     rounds = 0
     while not converged and rounds < max_iter:
         rounds += 1
