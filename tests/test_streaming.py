@@ -165,14 +165,63 @@ def test_stateful_politeness_gate_across_restart(spark):
     adm = {r.url: r.admitted for r in got}
     assert adm == {"u1": True, "u2": True, "u3": True, "u4": False, "v1": True}
 
-    # RESTART, same checkpoint, same window: d1's budget is exhausted
-    # from the previous run — new events must be rejected; a new window
-    # (ts>=60) resets the budget
+    # RESTART, same checkpoint: d1's trailing window (admits at 10,11,12)
+    # is exhausted — u5/u6 rejected; u7 at 75 is past 12+60, so ALL three
+    # admits have aged out of (15, 75] and the budget is free again
     got2: list = []
     emit("b2.json", [(20.0, "d1", "u5"), (21.0, "d1", "u6"),
-                     (65.0, "d1", "u7"), (20.0, "d2", "v2")])
+                     (75.0, "d1", "u7"), (20.0, "d2", "v2")])
     q2 = stream_politeness_gate(spark, ev_dir, os.path.join(tmp, "ckpt"),
                                 hits=3, window_s=60, on_batch=got2.extend)
     q2.awaitTermination(120)
     adm2 = {r.url: r.admitted for r in got2}
     assert adm2 == {"u5": False, "u6": False, "u7": True, "v2": True}
+
+
+def test_gate_trailing_window_boundary_burst():
+    """The round-4 divergence case: a burst straddling a tumbling-window
+    boundary.  Reference semantics (redis_throttled_queue.py:112-157)
+    are TRAILING: admits at 55/56/57 keep the budget exhausted until
+    55+window, so the 61/62/63 burst — which a tumbling gate would admit
+    as a 'new window' — must be rejected; at 116 (> 55+60) one slot has
+    aged out and exactly one admission passes."""
+    from collections import deque
+
+    import numpy as np
+
+    from scrapy_cluster_spark.streaming.throttle_stream import _gate_batch
+
+    window: deque = deque()
+    ts = np.array([55.0, 56.0, 57.0, 61.0, 62.0, 63.0, 116.0, 116.5])
+    adm = _gate_batch(ts, window, hits=3, window_s=60)
+    # 3 admitted in the first trailing window, boundary burst rejected;
+    # at 116 the inclusive eviction (ts <= t - window, matching the
+    # reference's zremrangebyscore '-inf'..now-window) ages out 55 AND
+    # 56, so two slots free — 116 and 116.5 both admitted
+    assert adm.tolist() == [True, True, True, False, False, False, True, True]
+    assert sorted(window) == [57.0, 116.0, 116.5]
+
+    # any trailing 60 s slice of the admitted sequence holds <= hits
+    admitted_ts = ts[adm]
+    for t in ts:
+        in_win = [a for a in admitted_ts if t - 60 < a <= t]
+        assert len(in_win) <= 3
+
+
+def test_gate_out_of_order_ts_cannot_mint_budget():
+    """A stale event time must not roll the window back (round-4 advice):
+    after the budget is exhausted at t=100, an out-of-order event at
+    t=10 is clamped to the monotonic high-water mark and rejected."""
+    from collections import deque
+
+    import numpy as np
+
+    from scrapy_cluster_spark.streaming.throttle_stream import _gate_batch
+
+    window: deque = deque()
+    first = np.array([98.0, 99.0, 100.0])
+    assert _gate_batch(first, window, hits=3, window_s=60).tolist() == [True] * 3
+    # the clamp lives in _gate_fn (np.maximum.accumulate against hwm);
+    # emulate it: the stale 10.0 becomes 100.0 and must be rejected
+    stale = np.maximum.accumulate(np.maximum(np.array([10.0]), 100.0))
+    assert _gate_batch(stale, window, hits=3, window_s=60).tolist() == [False]
