@@ -116,6 +116,11 @@ def hyperplane_bucket_udf(vecs: pd.Series) -> pd.Series:
 _MT_MIN_PLANES = 5
 _MT_MAX_TABLES = 256
 
+# Hot-bucket cap default (see functions/skew.py): derived sizing targets
+# ~64 rows/bucket, so 4096 only fires on adversarial skew (10⁶ identical
+# vectors); it bounds any single candidate-join task at cap² pairs.
+DEFAULT_MAX_BUCKET_ROWS = 4096
+
 
 def tables_for_planes(planes: int, threshold: float, recall: float = 0.999) -> int:
     """Table count from the hyperplane collision-recall bound for a
@@ -182,18 +187,19 @@ def lsh_candidate_pairs(
     n_tables: int | None = None,
     threshold: float = 0.45,
     n_hint: int | None = None,
-    max_bucket_rows: int | None = None,
+    max_bucket_rows: int | None = DEFAULT_MAX_BUCKET_ROWS,
 ) -> DataFrame:
     """Distinct candidate (a<b) pairs from the multi-table bucketing —
     the sub-quadratic half of ``neardup_pairs_lsh``, exposed so tests
     can measure candidate volume directly.
 
-    ``max_bucket_rows`` optionally caps each (table, bucket) to its
-    first N ids (deterministic: lowest ids) — a bounded-fan-out
-    degradation for adversarial skew (10⁶ identical vectors in one
-    bucket): recall for pairs WITHIN an over-full bucket is no longer
-    guaranteed by that table, only by the other tables.  Off by default
-    (exactness first)."""
+    ``max_bucket_rows`` caps each (table, bucket) to its ``cap`` lowest
+    ids (two-phase: only over-full buckets pay a window sort —
+    functions/skew.py) — the bounded-fan-out degradation for
+    adversarial skew (10⁶ identical vectors in one bucket): recall for
+    pairs WITHIN an over-full bucket is no longer guaranteed by that
+    table, only by the other tables (which identical vectors also
+    share).  Pass ``None`` to disable."""
     n = n_hint if n_hint is not None else emb.count()
     if planes_per_table is None:
         planes_per_table, d_tables = derive_lsh_params(n, threshold)
@@ -209,14 +215,9 @@ def lsh_candidate_pairs(
         F.col(id_col).alias("_id"), udf(F.col(vec_col)).alias("bks")
     ).select("_id", F.posexplode("bks").alias("table", "bucket"))
     if max_bucket_rows is not None:
-        from pyspark.sql import Window
+        from scrapy_cluster_spark.functions.skew import cap_hot_buckets
 
-        w = Window.partitionBy("table", "bucket").orderBy("_id")
-        keys = (
-            keys.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= max_bucket_rows)
-            .drop("_rk")
-        )
+        keys = cap_hot_buckets(keys, ["table", "bucket"], "_id", max_bucket_rows)
     left = keys.select(F.col("_id").alias("a"), "table", "bucket")
     right = keys.select(F.col("_id").alias("b"), "table", "bucket")
     return (
@@ -236,7 +237,7 @@ def neardup_pairs_lsh(
     planes_per_table: int | None = None,
     n_tables: int | None = None,
     n_hint: int | None = None,
-    max_bucket_rows: int | None = None,
+    max_bucket_rows: int | None = DEFAULT_MAX_BUCKET_ROWS,
 ) -> DataFrame:
     """All (a<b) pairs with cosine ≥ threshold — LSH-bucketed candidates,
     exact cosine verify.  Same output as the all-pairs cross join (the

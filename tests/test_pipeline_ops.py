@@ -107,6 +107,61 @@ class TestDedup:
         assert lsh <= exact  # verification guarantees no false positives
         assert (0, 1) in lsh  # identical docs always collide in every band
 
+    def test_minhash_cap_is_noop_on_normal_corpus(self, spark, docs):
+        """Default hot-bucket cap must not change results when no bucket
+        is hot (exactness on the normal corpus — round-4 verdict #3)."""
+        capped = {(r.a, r.b) for r in D.minhash_neardup_pairs(docs, threshold=0.5).collect()}
+        uncapped = {
+            (r.a, r.b)
+            for r in D.minhash_neardup_pairs(
+                docs, threshold=0.5, max_bucket_rows=None
+            ).collect()
+        }
+        assert capped == uncapped
+
+    def test_minhash_mega_bucket_capped(self, spark):
+        """Skewed corpus: 300 identical boilerplate docs share one bucket
+        in EVERY band (the LSH scale-killer).  With cap=20 the candidate
+        join is bounded at C(20,2) pairs per bucket instead of C(300,2),
+        retained ids still pair with each other, and the distinct normal
+        dup pair is untouched."""
+        boiler = "this is the same boilerplate footer text repeated on every single page"
+        rows = [(i, boiler) for i in range(300)] + [
+            (1000, "a unique document about spark adaptive query execution plans"),
+            (1001, "a unique document about spark adaptive query execution plans"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        bands = D.with_minhash_bands(df)
+        capped = D.lsh_candidate_pairs(bands, max_bucket_rows=20)
+        pairs = {(r.a, r.b) for r in capped.collect()}
+        mega = {p for p in pairs if p[0] < 1000 and p[1] < 1000}
+        # per-bucket fan-out bounded: every band keeps the same 20 lowest
+        # ids, so the mega-bucket contributes exactly C(20,2) pairs
+        assert len(mega) == 20 * 19 // 2
+        assert all(a < 20 and b < 20 for a, b in mega)
+        assert (1000, 1001) in pairs  # cold buckets untouched
+        # end-to-end: verification still yields exact-jaccard-1 pairs
+        # among the retained boilerplate ids
+        verified = {
+            (r.a, r.b)
+            for r in D.minhash_neardup_pairs(df, max_bucket_rows=20).collect()
+        }
+        assert (0, 1) in verified and (1000, 1001) in verified
+        assert len(verified) == 20 * 19 // 2 + 1
+
+    def test_cap_hot_buckets_two_phase(self, spark):
+        """Unit: over-full groups trimmed to lowest ids, cold groups
+        byte-identical pass-through."""
+        from scrapy_cluster_spark.functions.skew import cap_hot_buckets
+
+        rows = [(0, "hot", i) for i in range(50)] + [(1, "cold", i) for i in range(5)]
+        keys = spark.createDataFrame(rows, ["band", "bucket", "doc_id"])
+        out = cap_hot_buckets(keys, ["band", "bucket"], "doc_id", 10).collect()
+        hot = sorted(r.doc_id for r in out if r.bucket == "hot")
+        cold = sorted(r.doc_id for r in out if r.bucket == "cold")
+        assert hot == list(range(10))  # lowest ids kept, deterministic
+        assert cold == list(range(5))
+
     def test_minhash_signature_similarity(self):
         a = ["s%d" % i for i in range(100)]
         b = a[:80] + ["t%d" % i for i in range(20)]  # jaccard ≈ 0.667
