@@ -54,6 +54,16 @@ ACTION_PLUGIN = {
     "zk-remove": "ZookeeperMonitor",
 }
 
+# per-action retry budget before the poison row is dropped with a fail
+# ack (redis-monitor/settings.py RETRY_FAILURES_MAX, enforced at
+# redis_monitor.py:214-249: failed actions retry up to the max, then
+# the key is deleted and the fail stat incremented)
+RETRY_FAILURES_MAX = 3
+
+# action values process_actions dispatches ('expire' rows are legal
+# input but a no-op here: expiry is derived from crawl_jobs timeouts)
+_KNOWN_ACTIONS = {"stop", "expire", "info", "stats", "zk-update", "zk-remove"}
+
 
 def _ack(row: dict, action: str, payload: dict, now: float) -> tuple:
     return (
@@ -201,6 +211,30 @@ def process_actions(
         crawl_jobs = crawl_jobs.filter(~expired_cond)
         n_expired = expired.count()  # one scalar for the metrics row
 
+    # ---- per-action failure isolation (redis_monitor.py:214-249): a
+    # handler exception must not abort the whole control batch.  Failed
+    # actions are re-queued with failures+1 and retried on the next
+    # pass; at RETRY_FAILURES_MAX the poison row is DROPPED with a
+    # visible fail ack.  Unknown action values have no handler to retry,
+    # so they fail-ack immediately (the reference logs "Could not
+    # process action" and the key eventually poisons out).  Every
+    # failure increments the plugin-NULL 'fail' metric — the same
+    # stats family the ingest path writes (plans/crawl.py:65).
+    retry_rows: list[dict] = []
+    n_failures = 0
+
+    def _fail(r: dict, err, poison: bool = False) -> None:
+        nonlocal n_failures
+        n_failures += 1
+        failures = (r.get("failures") or 0) + 1
+        if poison or failures >= RETRY_FAILURES_MAX:
+            acks.append(_ack(r, r.get("action") or "unknown",
+                             {"action": r.get("action"), "uuid": r.get("uuid"),
+                              "error": str(err), "failures": failures,
+                              "poisoned": True}, now))
+        else:
+            retry_rows.append(dict(r, failures=failures))
+
     # ---- explicit stop targets: few (one per action row) → driver batch.
     # Stops observe the post-expiry frontier; an appid-wide stop that
     # overlaps an expired crawlid reports the rows the expiry left (the
@@ -209,14 +243,18 @@ def process_actions(
     stop_rows = [row.asDict() for row in pending if row["action"] == "stop"]
     targets = [(r["spiderid"], r["appid"], r["crawlid"]) for r in stop_rows]
     if targets:
-        frontier, purge_counts = _batch_purge(spark, frontier, targets)
-        frontier_dirty = True
-        for k, r in enumerate(stop_rows):
-            n = purge_counts[k]
-            new_blacklist.append((r["spiderid"], r["appid"], r["crawlid"]))
-            acks.append(_ack(r, "stop", {"action": "stop", "total_purged": n,
-                                         "spiderid": r["spiderid"], "appid": r["appid"],
-                                         "crawlid": r["crawlid"], "uuid": r["uuid"]}, now))
+        try:
+            frontier, purge_counts = _batch_purge(spark, frontier, targets)
+            frontier_dirty = True
+            for k, r in enumerate(stop_rows):
+                n = purge_counts[k]
+                new_blacklist.append((r["spiderid"], r["appid"], r["crawlid"]))
+                acks.append(_ack(r, "stop", {"action": "stop", "total_purged": n,
+                                             "spiderid": r["spiderid"], "appid": r["appid"],
+                                             "crawlid": r["crawlid"], "uuid": r["uuid"]}, now))
+        except Exception as e:  # batch-level: every stop row retries
+            for r in stop_rows:
+                _fail(r, e)
 
     zk_updates: list[tuple] = []
     zk_removes: list[str] = []
@@ -228,40 +266,46 @@ def process_actions(
         r = row.asDict()
         a = r["action"]
         if a == "stop":
-            pass  # handled in the batched purge above
-        elif a == "info":
-            if r["crawlid"]:
-                payload = build_crawlid_info(frontier, crawl_jobs, r["spiderid"], r["appid"], r["crawlid"])
-            else:
-                payload = build_appid_info(
-                    frontier, r["spiderid"], r["appid"],
-                    domains_cap=cfg.stats_queue_domains_cap,
-                )
-            acks.append(_ack(r, "info", payload, now))
-        elif a == "stats":
-            from scrapy_cluster_spark.operators.stats import build_stats_payload
-            from scrapy_cluster_spark.schemas import CRAWLED_SCHEMA, HEARTBEATS_SCHEMA
+            continue  # handled in the batched purge above
+        if a not in _KNOWN_ACTIONS:
+            _fail(r, f"unknown action value: {a!r}", poison=True)
+            continue
+        try:
+            if a == "info":
+                if r["crawlid"]:
+                    payload = build_crawlid_info(frontier, crawl_jobs, r["spiderid"], r["appid"], r["crawlid"])
+                else:
+                    payload = build_appid_info(
+                        frontier, r["spiderid"], r["appid"],
+                        domains_cap=cfg.stats_queue_domains_cap,
+                    )
+                acks.append(_ack(r, "info", payload, now))
+            elif a == "stats":
+                from scrapy_cluster_spark.operators.stats import build_stats_payload
+                from scrapy_cluster_spark.schemas import CRAWLED_SCHEMA, HEARTBEATS_SCHEMA
 
-            payload = build_stats_payload(
-                frontier,
-                store.read("crawled", CRAWLED_SCHEMA),
-                store.read("metrics", METRICS_SCHEMA),
-                r["stats"] or "all",
-                now=now,
-                heartbeats=store.read("heartbeats", HEARTBEATS_SCHEMA),
-                round_len=cfg.round_len,
-                heartbeat_ttl=cfg.heartbeat_ttl,
-                queue_domains_cap=cfg.stats_queue_domains_cap,
-            )
-            acks.append(_ack(r, "stats", payload, now))
-        elif a == "zk-update":
-            # domain update requires hits & window ≠ 0 (zookeeper_handler.py:49-56)
-            if r["hits"] and r["window"]:
-                zk_updates.append((r["domain"], r["window"], r["hits"], r["scale"] or 1.0, False))
-                acks.append(_ack(r, "zk-update", {"domain": r["domain"], "uuid": r["uuid"]}, now))
-        elif a == "zk-remove":
-            zk_removes.append(r["domain"])
-            acks.append(_ack(r, "zk-remove", {"domain": r["domain"], "uuid": r["uuid"]}, now))
+                payload = build_stats_payload(
+                    frontier,
+                    store.read("crawled", CRAWLED_SCHEMA),
+                    store.read("metrics", METRICS_SCHEMA),
+                    r["stats"] or "all",
+                    now=now,
+                    heartbeats=store.read("heartbeats", HEARTBEATS_SCHEMA),
+                    round_len=cfg.round_len,
+                    heartbeat_ttl=cfg.heartbeat_ttl,
+                    queue_domains_cap=cfg.stats_queue_domains_cap,
+                )
+                acks.append(_ack(r, "stats", payload, now))
+            elif a == "zk-update":
+                # domain update requires hits & window ≠ 0 (zookeeper_handler.py:49-56)
+                if r["hits"] and r["window"]:
+                    zk_updates.append((r["domain"], r["window"], r["hits"], r["scale"] or 1.0, False))
+                    acks.append(_ack(r, "zk-update", {"domain": r["domain"], "uuid": r["uuid"]}, now))
+            elif a == "zk-remove":
+                zk_removes.append(r["domain"])
+                acks.append(_ack(r, "zk-remove", {"domain": r["domain"], "uuid": r["uuid"]}, now))
+        except Exception as e:  # isolate: other actions still commit
+            _fail(r, e)
 
     # ---- commit effects
     if new_blacklist or blacklist_dfs:
@@ -286,7 +330,15 @@ def process_actions(
         for d in ack_dfs:
             out = out.unionByName(d)
         store.append("outbound", out, meta={"round": round_id})
-    store.overwrite("actions", spark.createDataFrame([], ACTIONS_SCHEMA), meta={"round": round_id})
+    # consume processed actions; failed-but-retryable rows are re-queued
+    # with failures+1 (the reference keeps the key until it poisons out)
+    store.overwrite(
+        "actions",
+        spark.createDataFrame(retry_rows, ACTIONS_SCHEMA)
+        if retry_rows
+        else spark.createDataFrame([], ACTIONS_SCHEMA),
+        meta={"round": round_id},
+    )
 
     # per-plugin monitor stats (kafka_monitor.py:189-221 plugin keys):
     # one 'total' row per redis-monitor plugin that handled work this
@@ -298,18 +350,22 @@ def process_actions(
             plugin_counts[name] = plugin_counts.get(name, 0) + 1
     if n_expired:
         plugin_counts["ExpireMonitor"] = plugin_counts.get("ExpireMonitor", 0) + n_expired
-    if plugin_counts:
-        store.append_rows(
-            "metrics",
-            [
-                {"round": round_id, "component": "redis-monitor", "kind": "total",
-                 "plugin": p, "spiderid": None, "status_code": None,
-                 "value": float(n), "ts": now}
-                for p, n in sorted(plugin_counts.items())
-            ],
-            METRICS_SCHEMA,
-            meta={"round": round_id},
+    metric_rows = [
+        {"round": round_id, "component": "redis-monitor", "kind": "total",
+         "plugin": p, "spiderid": None, "status_code": None,
+         "value": float(n), "ts": now}
+        for p, n in sorted(plugin_counts.items())
+    ]
+    if n_failures:
+        # plugin-NULL 'fail' family — same shape as the ingest failure
+        # counter (kafka_monitor.py:298-314 analog at plans/crawl.py:65)
+        metric_rows.append(
+            {"round": round_id, "component": "redis-monitor", "kind": "fail",
+             "plugin": None, "spiderid": None, "status_code": None,
+             "value": float(n_failures), "ts": now}
         )
+    if metric_rows:
+        store.append_rows("metrics", metric_rows, METRICS_SCHEMA, meta={"round": round_id})
 
     # control effects are lineage events (same reason as feeds: resume
     # reads lineage outputs, so post-round mutations must be recorded)

@@ -185,6 +185,10 @@ ACTIONS_SCHEMA = StructType(
         StructField("window", IntegerType()),
         StructField("scale", DoubleType()),
         StructField("ts", DoubleType()),
+        # failed-handling count — the reference retries a failing action
+        # up to RETRY_FAILURES_MAX then deletes the poison key
+        # (redis-monitor/redis_monitor.py:214-249); null = 0
+        StructField("failures", IntegerType()),
     ]
 )
 

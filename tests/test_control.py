@@ -162,3 +162,93 @@ def test_mass_expiry_batched(store, spark):
     # O(1) Spark jobs for the whole batch, not O(n_jobs): generous bound
     # (reads + grouped count + commits), but two orders below per-job
     assert jobs_after - jobs_before < 25, f"{jobs_after - jobs_before} jobs for {n_jobs} targets"
+
+
+def test_failing_action_does_not_block_batch(store, monkeypatch):
+    """Per-action failure isolation (redis_monitor.py:214-249): a raising
+    handler must not abort the control pass — other actions in the same
+    batch still commit, and the failing row is re-queued with
+    failures+1 for the next pass."""
+    from scrapy_cluster_spark.operators import control as C
+    from scrapy_cluster_spark.schemas import (
+        ACTIONS_SCHEMA,
+        DOMAIN_CONFIG_SCHEMA,
+        METRICS_SCHEMA,
+    )
+
+    _seed_many(store, "c1", n=2)
+    feed_action(store, {"action": "info", "uuid": "bad-1", "spiderid": "link",
+                        "appid": "testapp", "crawlid": "c1"})
+    feed_action(store, {"action": "zk-update", "uuid": "ok-1", "domain": "site0.com",
+                        "hits": 9, "window": 30, "scale": 1.0})
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated handler crash")
+
+    monkeypatch.setattr(C, "build_crawlid_info", boom)
+    process_actions(store, round_id=1)
+
+    # the healthy action landed
+    dc = store.read("domain_config", DOMAIN_CONFIG_SCHEMA).filter("domain='site0.com'").collect()
+    assert [(r.hits, r.window) for r in dc] == [(9, 30)]
+    acks = store.read("outbound", OUTBOUND_SCHEMA).collect()
+    assert any(a.uuid == "ok-1" for a in acks)
+    # the failing action is re-queued, not acked, not lost
+    assert not any(a.uuid == "bad-1" for a in acks)
+    left = store.read("actions", ACTIONS_SCHEMA).collect()
+    assert [(r.uuid, r.failures) for r in left] == [("bad-1", 1)]
+    # fail metric written (plugin-NULL 'fail' family)
+    fails = store.read("metrics", METRICS_SCHEMA).filter(
+        "component='redis-monitor' AND kind='fail'"
+    ).collect()
+    assert sum(r.value for r in fails) == 1.0
+
+
+def test_poison_action_dropped_after_max_retries(store, monkeypatch):
+    """RETRY_FAILURES_MAX semantics: the action retries across passes and
+    is DROPPED at the cap with a visible poisoned fail ack (the reference
+    deletes the poison key, redis_monitor.py:214-249)."""
+    from scrapy_cluster_spark.operators import control as C
+    from scrapy_cluster_spark.schemas import ACTIONS_SCHEMA
+
+    _seed_many(store, "c2", n=2)
+    feed_action(store, {"action": "info", "uuid": "poison-1", "spiderid": "link",
+                        "appid": "testapp", "crawlid": "c2"})
+
+    def boom(*a, **k):
+        raise RuntimeError("always fails")
+
+    monkeypatch.setattr(C, "build_crawlid_info", boom)
+    for rnd in range(1, C.RETRY_FAILURES_MAX + 1):
+        process_actions(store, round_id=rnd)
+        left = store.read("actions", ACTIONS_SCHEMA).collect()
+        if rnd < C.RETRY_FAILURES_MAX:
+            assert [(r.uuid, r.failures) for r in left] == [("poison-1", rnd)]
+        else:
+            assert left == []  # dropped at the cap
+
+    acks = store.read("outbound", OUTBOUND_SCHEMA).filter("uuid='poison-1'").collect()
+    assert len(acks) == 1
+    payload = json.loads(acks[0].payload)
+    assert payload["poisoned"] is True and payload["failures"] == C.RETRY_FAILURES_MAX
+    assert "always fails" in payload["error"]
+
+
+def test_unknown_action_gets_fail_ack(store):
+    """An unmatched action value must not be silently consumed (round-4
+    'What's missing #2'): it is dropped with an immediate poisoned fail
+    ack and a fail metric."""
+    from scrapy_cluster_spark.schemas import ACTIONS_SCHEMA, METRICS_SCHEMA
+
+    feed_action(store, {"action": "frobnicate", "uuid": "u-x"})
+    process_actions(store, round_id=1)
+
+    assert store.read("actions", ACTIONS_SCHEMA).count() == 0
+    acks = store.read("outbound", OUTBOUND_SCHEMA).filter("uuid='u-x'").collect()
+    assert len(acks) == 1
+    payload = json.loads(acks[0].payload)
+    assert payload["poisoned"] is True and "unknown action" in payload["error"]
+    fails = store.read("metrics", METRICS_SCHEMA).filter(
+        "component='redis-monitor' AND kind='fail'"
+    ).collect()
+    assert sum(r.value for r in fails) == 1.0
