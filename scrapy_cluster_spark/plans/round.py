@@ -230,194 +230,216 @@ def run_round(
         meta={"round": round_id},
         coalesce=cfg.append_coalesce,
     )))
-    crawled_write = None
-    _crawled_write_sec = 0.0
-    if write_through:
-        items_wide = fetch.wide_items(items_full).withColumn("ok", F.col("success"))
-        _t_crawled = time.time()
-        _pre_crawled_files = set(store.files("crawled"))
-        out_versions["crawled"] = store.append(
-            "crawled", items_wide, partition_by=["ok"], repartition=False,
-            meta={"round": round_id},
-        )
-        _crawled_write_sec = round(time.time() - _t_crawled, 2)
-        wide_schema = StructType(
-            [f for f in items_wide.schema.fields if f.name != "ok"]
-        )
-        _crawled_delta = [
-            f
-            for f in store.files("crawled", out_versions["crawled"])
-            if f not in _pre_crawled_files
-        ]
-        items_files = (
-            store.spark.read.schema(wide_schema).parquet(*_crawled_delta)
-            if _crawled_delta
-            else store.spark.createDataFrame([], wide_schema)
-        )
-        # hot projection for the two downstream consumers (children
-        # explode + retries): populated FROM the written files (no
-        # recompute of the extraction), body/response columns excluded
-        # (nested-parquet re-decoding cost children ~+10 s @16c
-        # without this cache)
-        items = items_files.drop(
-            "body", "links", "response_url", "status_msg", "exception",
-            "response_headers", "request_headers", "encoding", "timestamp",
-            "status_code",
-        ).persist()
-    else:
-        items = items_full.persist()
-        crawled_write = lambda: store.append(  # noqa: E731 — joins the write pool
-            "crawled",
-            fetch.project_crawled(items).withColumn("ok", F.col("success")),
-            partition_by=["ok"],
-            repartition=False,
-            meta={"round": round_id},
-        )
-
-    # ---- discovered children + retries → enqueue filter chain
-    children = to_frontier_rows(parse.child_candidates(items), round_id, cfg, source="spider")
-    children = robots.apply_robots(children, robots_rules).persist()
-    blooms_df = (
-        store.read("blooms", bloom.BLOOM_SCHEMA, pins["blooms"]) if cfg.use_bloom else None
-    )
-    cuckoos_df = None
-    if cfg.use_cuckoo:
-        from scrapy_cluster_spark.operators import cuckoo as cuckoo_mod
-
-        cuckoos_df = store.read("cuckoos", cuckoo_mod.CUCKOO_SCHEMA, pins["cuckoos"])
-    passed_dupe, seen_inserts = dedupe.apply_dupefilter(
-        children, seen, blooms_df, cuckoos_df
-    )
-
-    retries = parse.retry_candidates(items, cfg).select(*[f.name for f in FRONTIER_SCHEMA.fields])
-    enqueue_in = passed_dupe.unionByName(retries).persist()
-
-    after_global_cap, domain_deltas, global_deltas = limits.apply_page_limits(
-        enqueue_in, page_counts, cfg.global_page_per_domain_limit
-    )
-    accepted = limits.apply_blacklist(after_global_cap, blacklist)
-    accepted = limits.apply_expiry(accepted, now)
-    accepted = limits.apply_zk_domain_filter(accepted, domain_config, cfg.backlog_blacklist)
-    accepted = accepted.select(*[f.name for f in FRONTIER_SCHEMA.fields])
-
-    # ---- frontier merge: old − scheduled + accepted.  Rows in buckets
-    # the round neither scheduled from nor inserted into are unchanged,
-    # so the partial path rewrites only the touched buckets and carries
-    # the rest of the pinned snapshot's files into the new manifest
-    # (store.overwrite_partitions).
-    row_key = ["spiderid", "crawlid", "fingerprint", "retry_times", "inserted_round"]
-    remaining = frontier.join(scheduled.select(*row_key), row_key, "left_anti")
-    new_frontier = remaining.unionByName(accepted)
-
-    def _write_frontier():
-        if not cfg.frontier_partial_merge:
-            return store.overwrite(
-                "frontier", new_frontier, partition_by=["bucket"], meta={"round": round_id}
-            )
-        # touched = buckets of popped rows ∪ buckets of accepted rows —
-        # two tiny distinct jobs over cached/persisted plans (≤
-        # frontier_buckets values each)
-        touched = {
-            r["bucket"]
-            for r in scheduled.select("bucket").distinct().collect()
-        } | {r["bucket"] for r in accepted.select("bucket").distinct().collect()}
-        has_null = None in touched  # defensive: all producers set bucket
-        touched.discard(None)
-        cond = F.col("bucket").isin(*sorted(touched)) if touched else F.lit(False)
-        if has_null:
-            cond = cond | F.col("bucket").isNull()
-        return store.overwrite_partitions(
-            "frontier",
-            new_frontier.filter(cond),
-            "bucket",
-            sorted(touched) + ([None] if has_null else []),
-            meta={"round": round_id, "touched_buckets": len(touched) + int(has_null)},
-            base_version=pins["frontier"],
-        )
-
-    # ---- materialization barriers: populate each cache once, in
-    # dependency order, BEFORE the concurrent write jobs.  Without
-    # these, the write threads race to compute overlapping uncached
-    # lineages (cache-population lock contention + duplicated UDF work:
-    # measured 146 s concurrent vs 86 s stepwise on the 1.45M-page
-    # probe round).  count() jobs on cached plans cost ~0.2-0.5 s
-    # each of driver planning — noise next to the contention they avoid.
-    # (scheduled was already counted above to steer the adaptive path)
-    for _df in (items, children, enqueue_in):
-        _df.count()
-
-    # ---- commits (lineage row last = atomic round commit)
-    #
-    # The five table writes are INDEPENDENT Spark jobs over persisted
-    # intermediates (scheduled / items / children / enqueue_in), and the
-    # SnapshotStore commits per-table manifests — so they run
-    # CONCURRENTLY from driver threads.  Sequential writes were the
-    # dominant per-round serial cost (each job pays full DAG-planning
-    # latency back-to-back; round-1 bench measured a 14-22 s/round
-    # serial floor).  Crash consistency is unchanged: the lineage row
-    # still commits last, and resume rolls every table back to the last
-    # lineage-recorded version, so a crash that lands only some of the
-    # concurrent commits leaves no observable partial round.
-    deltas = domain_deltas
-    if global_deltas is not None:
-        deltas = deltas.unionByName(global_deltas)
-
-    writes = {
-        "frontier": _write_frontier,
-        # (large batches: crawled was already written above by the
-        # write-through path; small batches append it concurrently
-        # below.  'ok' duplicates 'success' as the partition dir so
-        # pages_crawled comes free from footers.  fetch_log was
-        # submitted early, before the barrier phase.)
-        # seen + page_counts share ONE Spark job (store.append_many):
-        # two fewer concurrent jobs contending for task slots with the
-        # frontier overwrite — the write window's critical path
-        "seen+page_counts": lambda: store.append_many(
-            {
-                "seen": seen_inserts.select(
-                    "spiderid", "crawlid", "fingerprint",
-                    F.lit(round_id).cast("long").alias("seen_round"), "bucket",
-                ),
-                "page_counts": deltas,
-            },
-            meta={"round": round_id},
-        ),
-    }
-    if crawled_write is not None:
-        writes["crawled"] = crawled_write
-    if cfg.use_bloom:
-        # delta bloom over this round's new fps; OR-merged at probe time
-        writes["blooms"] = lambda: store.append(
-            "blooms",
-            bloom.build_delta_blooms(seen_inserts, cfg.bloom_m_bits, cfg.bloom_k),
-            meta={"round": round_id},
-            coalesce=1,
-        )
-    if cfg.use_cuckoo:
-        # cuckoo is a MAINTAINED table (upsert-in-place per bucket), not
-        # an append-delta like bloom: cogroup this round's new fps into
-        # the pinned sidecars and commit the rewritten snapshot
-        from scrapy_cluster_spark.operators import cuckoo as cuckoo_mod
-
-        writes["cuckoos"] = lambda: store.overwrite(
-            "cuckoos",
-            cuckoo_mod.cuckoo_upsert(
-                cuckoos_df, seen_inserts, m=cfg.cuckoo_m, slots=cfg.cuckoo_slots
-            ),
-            meta={"round": round_id},
-            coalesce=1,
-        )
-
-    profile: dict | None = (
-        {"setup_sec": round(time.time() - t0, 2)}
-        if os.environ.get("SPARK_GRAFT_PROFILE")
-        else None
-    )
-
-    if profile is not None and write_through:
-        profile["write_crawled_sec"] = _crawled_write_sec
-    t_writes = time.time()
+    # pool + early future live inside ONE try/finally: an exception
+    # anywhere in the fetch/barrier/write phase must still resolve the
+    # early fetch_log future and shut the pool down (round-4 advice #3 —
+    # a leaked non-daemon pool swallows the write failure and can block
+    # interpreter exit on the in-flight write)
     try:
+        crawled_write = None
+        _crawled_write_sec = 0.0
+        if write_through:
+            items_wide = fetch.wide_items(items_full).withColumn("ok", F.col("success"))
+            _t_crawled = time.time()
+            _pre_crawled_files = set(store.files("crawled"))
+            out_versions["crawled"] = store.append(
+                "crawled", items_wide, partition_by=["ok"], repartition=False,
+                meta={"round": round_id},
+            )
+            _crawled_write_sec = round(time.time() - _t_crawled, 2)
+            wide_schema = StructType(
+                [f for f in items_wide.schema.fields if f.name != "ok"]
+            )
+            _crawled_delta = [
+                f
+                for f in store.files("crawled", out_versions["crawled"])
+                if f not in _pre_crawled_files
+            ]
+            items_files = (
+                store.spark.read.schema(wide_schema).parquet(*_crawled_delta)
+                if _crawled_delta
+                else store.spark.createDataFrame([], wide_schema)
+            )
+            # hot projection for the two downstream consumers (children
+            # explode + retries): populated FROM the written files (no
+            # recompute of the extraction), body/response columns excluded
+            # (nested-parquet re-decoding cost children ~+10 s @16c
+            # without this cache)
+            items = items_files.drop(
+                "body", "links", "response_url", "status_msg", "exception",
+                "response_headers", "request_headers", "encoding", "timestamp",
+                "status_code",
+            ).persist()
+        else:
+            items = items_full.persist()
+            crawled_write = lambda: store.append(  # noqa: E731 — joins the write pool
+                "crawled",
+                fetch.project_crawled(items).withColumn("ok", F.col("success")),
+                partition_by=["ok"],
+                repartition=False,
+                meta={"round": round_id},
+            )
+
+        # ---- discovered children + retries → enqueue filter chain
+        children = to_frontier_rows(parse.child_candidates(items), round_id, cfg, source="spider")
+        children = robots.apply_robots(children, robots_rules).persist()
+        blooms_df = (
+            store.read("blooms", bloom.BLOOM_SCHEMA, pins["blooms"]) if cfg.use_bloom else None
+        )
+        cuckoos_df = None
+        if cfg.use_cuckoo:
+            from scrapy_cluster_spark.operators import cuckoo as cuckoo_mod
+
+            if pins["cuckoos"] == 0 and store.count("seen", pins["seen"]) > 0:
+                # use_cuckoo enabled on a store that already has seen rows
+                # (round-4 advice): cuckoo_probe answers definite-new for
+                # buckets with no filter row, so without this bootstrap
+                # every previously-seen URL would skip the exact anti-join
+                # and re-enqueue — and unlike bloom the sidecar is never
+                # rebuilt from seen, so it would never self-heal.  Build the
+                # sidecars from the pinned seen snapshot once (same multiset
+                # the per-round upserts would have inserted; retention's
+                # per-row deletes stay balanced).
+                pins["cuckoos"] = store.overwrite(
+                    "cuckoos",
+                    cuckoo_mod.build_cuckoo(seen, m=cfg.cuckoo_m, slots=cfg.cuckoo_slots),
+                    meta={"round": round_id, "bootstrap_from_seen": True},
+                    coalesce=1,
+                )
+                out_versions["cuckoos"] = pins["cuckoos"]
+            cuckoos_df = store.read("cuckoos", cuckoo_mod.CUCKOO_SCHEMA, pins["cuckoos"])
+        passed_dupe, seen_inserts = dedupe.apply_dupefilter(
+            children, seen, blooms_df, cuckoos_df
+        )
+
+        retries = parse.retry_candidates(items, cfg).select(*[f.name for f in FRONTIER_SCHEMA.fields])
+        enqueue_in = passed_dupe.unionByName(retries).persist()
+
+        after_global_cap, domain_deltas, global_deltas = limits.apply_page_limits(
+            enqueue_in, page_counts, cfg.global_page_per_domain_limit
+        )
+        accepted = limits.apply_blacklist(after_global_cap, blacklist)
+        accepted = limits.apply_expiry(accepted, now)
+        accepted = limits.apply_zk_domain_filter(accepted, domain_config, cfg.backlog_blacklist)
+        accepted = accepted.select(*[f.name for f in FRONTIER_SCHEMA.fields])
+
+        # ---- frontier merge: old − scheduled + accepted.  Rows in buckets
+        # the round neither scheduled from nor inserted into are unchanged,
+        # so the partial path rewrites only the touched buckets and carries
+        # the rest of the pinned snapshot's files into the new manifest
+        # (store.overwrite_partitions).
+        row_key = ["spiderid", "crawlid", "fingerprint", "retry_times", "inserted_round"]
+        remaining = frontier.join(scheduled.select(*row_key), row_key, "left_anti")
+        new_frontier = remaining.unionByName(accepted)
+
+        def _write_frontier():
+            if not cfg.frontier_partial_merge:
+                return store.overwrite(
+                    "frontier", new_frontier, partition_by=["bucket"], meta={"round": round_id}
+                )
+            # touched = buckets of popped rows ∪ buckets of accepted rows —
+            # two tiny distinct jobs over cached/persisted plans (≤
+            # frontier_buckets values each)
+            touched = {
+                r["bucket"]
+                for r in scheduled.select("bucket").distinct().collect()
+            } | {r["bucket"] for r in accepted.select("bucket").distinct().collect()}
+            has_null = None in touched  # defensive: all producers set bucket
+            touched.discard(None)
+            cond = F.col("bucket").isin(*sorted(touched)) if touched else F.lit(False)
+            if has_null:
+                cond = cond | F.col("bucket").isNull()
+            return store.overwrite_partitions(
+                "frontier",
+                new_frontier.filter(cond),
+                "bucket",
+                sorted(touched) + ([None] if has_null else []),
+                meta={"round": round_id, "touched_buckets": len(touched) + int(has_null)},
+                base_version=pins["frontier"],
+            )
+
+        # ---- materialization barriers: populate each cache once, in
+        # dependency order, BEFORE the concurrent write jobs.  Without
+        # these, the write threads race to compute overlapping uncached
+        # lineages (cache-population lock contention + duplicated UDF work:
+        # measured 146 s concurrent vs 86 s stepwise on the 1.45M-page
+        # probe round).  count() jobs on cached plans cost ~0.2-0.5 s
+        # each of driver planning — noise next to the contention they avoid.
+        # (scheduled was already counted above to steer the adaptive path)
+        for _df in (items, children, enqueue_in):
+            _df.count()
+
+        # ---- commits (lineage row last = atomic round commit)
+        #
+        # The five table writes are INDEPENDENT Spark jobs over persisted
+        # intermediates (scheduled / items / children / enqueue_in), and the
+        # SnapshotStore commits per-table manifests — so they run
+        # CONCURRENTLY from driver threads.  Sequential writes were the
+        # dominant per-round serial cost (each job pays full DAG-planning
+        # latency back-to-back; round-1 bench measured a 14-22 s/round
+        # serial floor).  Crash consistency is unchanged: the lineage row
+        # still commits last, and resume rolls every table back to the last
+        # lineage-recorded version, so a crash that lands only some of the
+        # concurrent commits leaves no observable partial round.
+        deltas = domain_deltas
+        if global_deltas is not None:
+            deltas = deltas.unionByName(global_deltas)
+
+        writes = {
+            "frontier": _write_frontier,
+            # (large batches: crawled was already written above by the
+            # write-through path; small batches append it concurrently
+            # below.  'ok' duplicates 'success' as the partition dir so
+            # pages_crawled comes free from footers.  fetch_log was
+            # submitted early, before the barrier phase.)
+            # seen + page_counts share ONE Spark job (store.append_many):
+            # two fewer concurrent jobs contending for task slots with the
+            # frontier overwrite — the write window's critical path
+            "seen+page_counts": lambda: store.append_many(
+                {
+                    "seen": seen_inserts.select(
+                        "spiderid", "crawlid", "fingerprint",
+                        F.lit(round_id).cast("long").alias("seen_round"), "bucket",
+                    ),
+                    "page_counts": deltas,
+                },
+                meta={"round": round_id},
+            ),
+        }
+        if crawled_write is not None:
+            writes["crawled"] = crawled_write
+        if cfg.use_bloom:
+            # delta bloom over this round's new fps; OR-merged at probe time
+            writes["blooms"] = lambda: store.append(
+                "blooms",
+                bloom.build_delta_blooms(seen_inserts, cfg.bloom_m_bits, cfg.bloom_k),
+                meta={"round": round_id},
+                coalesce=1,
+            )
+        if cfg.use_cuckoo:
+            # cuckoo is a MAINTAINED table (upsert-in-place per bucket), not
+            # an append-delta like bloom: cogroup this round's new fps into
+            # the pinned sidecars and commit the rewritten snapshot
+            from scrapy_cluster_spark.operators import cuckoo as cuckoo_mod
+
+            writes["cuckoos"] = lambda: store.overwrite(
+                "cuckoos",
+                cuckoo_mod.cuckoo_upsert(
+                    cuckoos_df, seen_inserts, m=cfg.cuckoo_m, slots=cfg.cuckoo_slots
+                ),
+                meta={"round": round_id},
+                coalesce=1,
+            )
+
+        profile: dict | None = (
+            {"setup_sec": round(time.time() - t0, 2)}
+            if os.environ.get("SPARK_GRAFT_PROFILE")
+            else None
+        )
+
+        if profile is not None and write_through:
+            profile["write_crawled_sec"] = _crawled_write_sec
+        t_writes = time.time()
         futures = {t: pool.submit(_timed_write(t, fn)) for t, fn in writes.items()}
         for t, fut in futures.items():
             v = fut.result()

@@ -155,3 +155,48 @@ class TestCuckooEnginePath:
             )
             shutil.rmtree(tmp, ignore_errors=True)
         assert outs[False] == outs[True]
+
+    def test_enable_cuckoo_mid_crawl_bootstraps_from_seen(self, spark, pages):
+        """Round-4 advice: flipping use_cuckoo ON for a store that already
+        has seen rows must bootstrap the sidecars from seen — otherwise
+        cuckoo_probe answers definite-new for every bucket and previously
+        seen URLs re-enqueue.  A/B: off→on mid-crawl equals off-throughout."""
+        import shutil
+        import tempfile
+
+        from scrapy_cluster_spark.config import EngineConfig
+        from scrapy_cluster_spark.plans.crawl import feed_requests, run_crawl
+        from scrapy_cluster_spark.schemas import CRAWLED_SCHEMA, FETCH_LOG_SCHEMA
+        from scrapy_cluster_spark.store import SnapshotStore
+        from scrapy_cluster_spark.synth import seed_requests
+
+        outs = {}
+        for flip_on in (False, True):
+            tmp = tempfile.mkdtemp(prefix=f"scs-ckboot-{flip_on}-")
+            store = SnapshotStore(spark, tmp)
+            cfg_off = EngineConfig(use_cuckoo=False, cuckoo_m=1 << 12)
+            feed_requests(store, seed_requests(3, maxdepth=1), cfg_off)
+            run_crawl(store, pages, cfg_off, max_rounds=2)
+            assert store.count("seen") > 0 and not store.exists("cuckoos")
+            cfg2 = EngineConfig(use_cuckoo=flip_on, cuckoo_m=1 << 12)
+            run_crawl(store, pages, cfg2, max_rounds=3)
+            if flip_on:
+                # sidecar was bootstrapped (not just delta-upserted):
+                # its live-entry count covers ALL seen rows, including
+                # the pre-flip rounds'
+                n_side = sum(
+                    r.n for r in store.read("cuckoos", cuckoo.CUCKOO_SCHEMA).collect()
+                )
+                assert n_side == store.count("seen")
+            outs[flip_on] = (
+                sorted(
+                    (r.domain, r.round, r.slot_ts, r.url)
+                    for r in store.read("fetch_log", FETCH_LOG_SCHEMA).collect()
+                ),
+                sorted(
+                    (r.url, r.round)
+                    for r in store.read("crawled", CRAWLED_SCHEMA).collect()
+                ),
+            )
+            shutil.rmtree(tmp, ignore_errors=True)
+        assert outs[False] == outs[True]
