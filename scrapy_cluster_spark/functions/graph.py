@@ -156,12 +156,19 @@ def connected_components(
         .join(labels, "id", "left")
         .select("id", F.coalesce("component", F.col("id")).alias("component"))
     )
+    # pin the result for CALLER-PROVIDED stores too (round-4 advice #1):
+    # the lazy plan otherwise reads the cc_edges/cc_labels_lp scratch
+    # snapshots, which the NEXT CC call on the same store overwrites and
+    # expire_snapshots physically deletes — consuming an earlier call's
+    # result after a later call then fails on missing parquet files.
+    # Materializing the (small) label table as its own snapshot and
+    # reading back the PINNED version makes each call's result stable;
+    # cc_labels versions are never auto-expired (callers may
+    # expire_snapshots("cc_labels") once consumers are done).
+    v = store.overwrite("cc_labels", out, coalesce=4)
+    out = store.read("cc_labels", out.schema, v)
     if owns_store:
-        # the result plan reads the final round's snapshot files — pin
-        # the labels by materializing the (small) label table as its own
-        # snapshot, then drop the per-round scratch tables
-        store.overwrite("cc_labels", out, coalesce=4)
-        out = store.read("cc_labels", out.schema)
+        # drop the per-round scratch tables; only cc_labels survives
         _cleanup_scratch(store)
     return out
 
@@ -296,14 +303,21 @@ def neardup_clusters(
     algorithm: str = "star",
     store: SnapshotStore | None = None,
     stats: dict | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """Docs + near-dup pairs → (doc_id, cluster_id, is_canonical):
     cluster_id = min doc_id in the connected component; the canonical
     (kept) doc is the one equal to its cluster id — the deterministic
-    keep-lowest-id policy exact_dedup already uses."""
+    keep-lowest-id policy exact_dedup already uses.
+
+    ``store`` + ``resume=True`` is the driver-loss recovery hook
+    (round-4 verdict next-round #6): pass a durable SnapshotStore and,
+    after a killed run, call again with ``resume=True`` — the star loop
+    continues from the last committed ``cc_edges`` round instead of the
+    input pairs (the caller guarantees the pair set is the same run)."""
     cc = connected_components(
         docs, pairs, id_col, a_col, b_col,
-        algorithm=algorithm, store=store, stats=stats,
+        algorithm=algorithm, store=store, stats=stats, resume=resume,
     )
     return cc.select(
         F.col("id").alias(id_col),

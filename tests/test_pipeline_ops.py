@@ -518,6 +518,81 @@ class TestGraphClustering:
         assert resumed_stats["rounds"] < full_stats["rounds"]
         shutil.rmtree(tmp, ignore_errors=True)
 
+    def test_cc_result_survives_later_call_on_same_store(self, spark):
+        """Round-4 advice #1: with a caller-provided store, an earlier
+        call's returned DataFrame must stay readable after a LATER call
+        overwrites and expires the per-round scratch snapshots — labels
+        are pinned into their own cc_labels version."""
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from scrapy_cluster_spark.functions import graph as G
+        from scrapy_cluster_spark.store import SnapshotStore
+
+        tmp = tempfile.mkdtemp(prefix="scs-ccpin-")
+        st = SnapshotStore(spark, tmp)
+        verts = spark.range(128)
+        chain = spark.range(127).select(F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
+        first = G.connected_components(verts, chain, store=st)
+        # a second, different run on the SAME store churns cc_edges
+        # through many overwrite+expire cycles
+        pairs = spark.range(64).select((F.col("id") * 2).alias("a"), (F.col("id") * 2 + 1).alias("b"))
+        second = G.connected_components(verts, pairs, store=st)
+        # consuming the FIRST result after the second run used to raise
+        # missing-parquet; now both are pinned snapshots
+        comps1 = {r.component for r in first.collect()}
+        assert comps1 == {0}  # one chain component
+        assert second.filter("id = 1").collect()[0].component == 0
+        assert second.filter("id = 3").collect()[0].component == 2
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_neardup_clusters_resume_after_kill(self, spark):
+        """Kill-mid-loop recovery through the PUBLIC clustering API
+        (round-4 verdict next-round #6): a star run killed mid-loop
+        (max_iter cap) on a durable store is finished by
+        neardup_clusters(resume=True) with labels hash-equal to an
+        uninterrupted run, in fewer rounds."""
+        import shutil
+        import tempfile
+        import warnings
+
+        from pyspark.sql import functions as F
+
+        from scrapy_cluster_spark.functions import graph as G
+        from scrapy_cluster_spark.store import SnapshotStore
+
+        docs = spark.range(200).select(F.col("id").alias("doc_id"))
+        pairs = spark.range(199).select(F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
+        fresh_stats: dict = {}
+        fresh = sorted(
+            (r.doc_id, r.cluster_id, r.is_canonical)
+            for r in G.neardup_clusters(docs, pairs, stats=fresh_stats).collect()
+        )
+
+        tmp = tempfile.mkdtemp(prefix="scs-ndres-")
+        st = SnapshotStore(spark, tmp)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # expected non-convergence
+            killed: dict = {}
+            G.connected_components(
+                docs, pairs, id_col="doc_id", max_iter=2, store=st, stats=killed
+            ).count()
+        assert not killed["converged"]
+
+        resumed_stats: dict = {}
+        resumed = sorted(
+            (r.doc_id, r.cluster_id, r.is_canonical)
+            for r in G.neardup_clusters(
+                docs, pairs, store=st, resume=True, stats=resumed_stats
+            ).collect()
+        )
+        assert resumed_stats["converged"]
+        assert resumed == fresh
+        assert resumed_stats["rounds"] < fresh_stats["rounds"]
+        shutil.rmtree(tmp, ignore_errors=True)
+
     def test_nonconvergence_warns(self, spark):
         """max_iter too small for the graph diameter → RuntimeWarning,
         not silently wrong labels (round-3 advice)."""
