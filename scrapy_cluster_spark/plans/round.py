@@ -104,6 +104,42 @@ def _distinct_in_files(files: list[str], column: str) -> set:
     return vals
 
 
+def _bucket_mask_exprs(n_buckets: int) -> list:
+    """Aggregate exprs collapsing a plan's ``bucket`` column into
+    ceil(n/64) bit-mask longs (+ a null counter), to ride an existing
+    action via ``observe`` — the touched-bucket sets the frontier merge
+    needs then cost ZERO extra Spark jobs.  The round-4 path paid two
+    probe jobs per round instead, one of which recomputed the unpersisted
+    page-limit window chain: measured ~5 s/round of pure overhead, the
+    round-4 headline regression (BENCH/BASELINE.md round 5)."""
+    words = (n_buckets + 63) // 64
+    exprs = [
+        F.expr(
+            f"coalesce(bit_or(case when bucket div 64 = {w} "
+            "then shiftleft(1L, cast(bucket % 64 as int)) end), 0L)"
+        ).alias(f"bm{w}")
+        for w in range(words)
+    ]
+    exprs.append(
+        F.expr("sum(case when bucket is null then 1 else 0 end)").alias("bnull")
+    )
+    return exprs
+
+
+def _mask_to_buckets(metrics: dict, n_buckets: int) -> tuple[set, bool]:
+    """Decode _bucket_mask_exprs metrics → (touched bucket set, saw-null)."""
+    touched: set = set()
+    for w in range((n_buckets + 63) // 64):
+        m = (metrics.get(f"bm{w}") or 0) & ((1 << 64) - 1)  # Java long bit 63 reads negative
+        b = 0
+        while m:
+            if m & 1:
+                touched.add(w * 64 + b)
+            m >>= 1
+            b += 1
+    return touched, bool(metrics.get("bnull") or 0)
+
+
 def lineage_path(store: SnapshotStore) -> str:
     return os.path.join(store.root, "lineage.jsonl")
 
@@ -164,7 +200,16 @@ def run_round(
         schedulable, quotas, salted=True, salt_partitions=cfg.salt_partitions,
         group_cols=tgroup,
     )
-    scheduled = throttle.assign_slots(scheduled, round_id, cfg).persist()
+    scheduled = throttle.assign_slots(scheduled, round_id, cfg)
+    obs_sched = None
+    if cfg.frontier_partial_merge:
+        # touched-bucket bitmask rides the n_batch barrier count below —
+        # the frontier merge reads it back jobs-free (_bucket_mask_exprs)
+        from pyspark.sql import Observation
+
+        obs_sched = Observation()
+        scheduled = scheduled.observe(obs_sched, *_bucket_mask_exprs(cfg.frontier_buckets))
+    scheduled = scheduled.persist()
 
     # ---- fetch + items: ADAPTIVE materialization (the trade-off is
     # batch-size-dependent, like a broadcast threshold):
@@ -313,7 +358,20 @@ def run_round(
         )
 
         retries = parse.retry_candidates(items, cfg).select(*[f.name for f in FRONTIER_SCHEMA.fields])
-        enqueue_in = passed_dupe.unionByName(retries).persist()
+        enqueue_in = passed_dupe.unionByName(retries)
+        obs_enq = None
+        if cfg.frontier_partial_merge:
+            # enqueue_in's buckets are a SUPERSET of accepted's (the limit/
+            # blacklist/expiry filters only remove rows), and a superset of
+            # touched is safe — an extra bucket is rewritten from
+            # new_frontier with content identical to what it already held.
+            # Riding the barrier count here replaces the round-4 probe that
+            # recomputed the whole page-limit window chain.
+            from pyspark.sql import Observation
+
+            obs_enq = Observation()
+            enqueue_in = enqueue_in.observe(obs_enq, *_bucket_mask_exprs(cfg.frontier_buckets))
+        enqueue_in = enqueue_in.persist()
 
         after_global_cap, domain_deltas, global_deltas = limits.apply_page_limits(
             enqueue_in, page_counts, cfg.global_page_per_domain_limit
@@ -337,15 +395,26 @@ def run_round(
                 return store.overwrite(
                     "frontier", new_frontier, partition_by=["bucket"], meta={"round": round_id}
                 )
-            # touched = buckets of popped rows ∪ buckets of accepted rows —
-            # two tiny distinct jobs over cached/persisted plans (≤
-            # frontier_buckets values each)
-            touched = {
-                r["bucket"]
-                for r in scheduled.select("bucket").distinct().collect()
-            } | {r["bucket"] for r in accepted.select("bucket").distinct().collect()}
-            has_null = None in touched  # defensive: all producers set bucket
-            touched.discard(None)
+            # touched = buckets of popped rows ∪ buckets of enqueue
+            # candidates; both sets already rode the barrier counts as
+            # observe() bitmasks (zero extra jobs — the get calls below
+            # return instantly because the actions ran in the barrier
+            # phase above)
+            t_sched, null_sched = _mask_to_buckets(obs_sched.get, cfg.frontier_buckets)
+            t_enq, null_enq = _mask_to_buckets(obs_enq.get, cfg.frontier_buckets)
+            touched = t_sched | t_enq
+            has_null = null_sched or null_enq  # defensive: all producers set bucket
+            if len(touched) >= cfg.frontier_buckets and not has_null and not any(
+                "_p_bucket=__HIVE_DEFAULT_PARTITION__" in f
+                for f in store.files("frontier", pins["frontier"])
+            ):
+                # every bucket is rewritten anyway (the bench's hot regime:
+                # domains ≫ buckets, so all 32 buckets are touched every
+                # round) — the partial machinery saves no IO; take the
+                # plain overwrite
+                return store.overwrite(
+                    "frontier", new_frontier, partition_by=["bucket"], meta={"round": round_id}
+                )
             cond = F.col("bucket").isin(*sorted(touched)) if touched else F.lit(False)
             if has_null:
                 cond = cond | F.col("bucket").isNull()
