@@ -321,6 +321,58 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             M.decode_image(b"\x89PNG")
 
+    def test_decoder_conformance_fake(self):
+        """The deterministic fake passes the contract any real codec
+        must meet (round-4 verdict next-round #7)."""
+        M.check_decoder_conformance(
+            M.fake_decode_meta,
+            [
+                (b"\x89PNG fake image bytes", "image"),
+                (b"RIFF fake audio bytes", "audio"),
+                (b"\x00\x00ftyp fake video", "video"),
+                (b"", "image"),  # undecodable → None
+            ],
+        )
+
+    def test_decoder_conformance_pillow(self):
+        """Same conformance suite against the REAL Pillow decoder —
+        runs wherever PIL is installed (skipped in this container), so
+        wiring a real codec on a cluster is covered by the same tests
+        the fake passes."""
+        pytest.importorskip("PIL")
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (37, 19), color=(200, 10, 10)).save(buf, format="PNG")
+        png = buf.getvalue()
+        M.check_decoder_conformance(
+            M.pillow_decode_meta,
+            [(png, "image"), (b"definitely not an image", "image"), (png, "video")],
+        )
+        meta = M.pillow_decode_meta(png, "image")
+        assert (meta["width"], meta["height"]) == (37, 19)
+
+    def test_rejecting_decoder_yields_null_meta_rows(self, spark):
+        """A decoder that raises (a real codec on corrupt bytes) must
+        not fail the stage: 1:1 rows survive with null decode fields
+        and byte_len preserved."""
+
+        def picky(payload: bytes, media_type: str):
+            if payload.startswith(b"bad"):
+                raise ValueError("corrupt")
+            return M.fake_decode_meta(payload, media_type)
+
+        rows = [(0, b"good bytes", "image"), (1, b"bad bytes", "image"), (2, None, "image")]
+        df = spark.createDataFrame(rows, ["media_id", "payload", "media_type"])
+        got = {r.media_id: r for r in M.extract_media_meta(df, decoder=picky).collect()}
+        assert len(got) == 3
+        assert got[0].width is not None and len(got[0].feature) == M.FEATURE_DIM
+        assert got[1].width is None and got[1].feature is None
+        assert got[1].byte_len == 9
+        assert got[2].byte_len == 0 and got[2].width is None
+
     def test_resize_plumbing(self, spark):
         rows = [(0, b"abc" * 10), (1, None), (2, b"xyz" * 5)]
         df = spark.createDataFrame(rows, ["media_id", "payload"])
