@@ -218,6 +218,58 @@ class SnapshotStore:
         new_files = self._stage(table, df, partition_by, coalesce)
         return self._commit(table, new_files, meta)
 
+    def _legacy_partition_files(self, table: str, partition_col: str,
+                                version: int | None = None) -> list[str]:
+        """Files from the pre-mirror layout: the partition value lives
+        ONLY in a ``<col>=V`` dir segment (no ``_p_<col>=`` mirror), so
+        the column is absent from the file data and reads back NULL."""
+        plain, mirror = f"{partition_col}=", f"_p_{partition_col}="
+        out = []
+        for f in self.files(table, version):
+            segs = f.split(os.sep)
+            if any(s.startswith(plain) for s in segs) and not any(
+                s.startswith(mirror) for s in segs
+            ):
+                out.append(f)
+        return out
+
+    def migrate_legacy_partitions(self, table: str, partition_col: str,
+                                  schema: StructType) -> int | None:
+        """Rewrite pre-mirror-layout files into the mirror layout,
+        reconstructing ``partition_col`` from the dir names (its only
+        surviving location).  Returns the new version, or None if the
+        table has no legacy files.  Without this, a partial merge on a
+        pre-existing store keeps stale rows: the legacy rows read back
+        with a NULL partition column and the ``_p_<col>=`` keep-filter
+        never matches their files (round-4 advice #4)."""
+        from pyspark.sql import functions as F
+
+        legacy = self._legacy_partition_files(table, partition_col)
+        if not legacy:
+            return None
+        prefix = f"{partition_col}="
+        by_value: dict[str, list[str]] = {}
+        for f in legacy:
+            seg = next(s for s in f.split(os.sep) if s.startswith(prefix))
+            by_value.setdefault(seg.split("=", 1)[1], []).append(f)
+        dtype = schema[partition_col].dataType
+        reduced = StructType([f for f in schema.fields if f.name != partition_col])
+        fixed = None
+        for value, vfiles in sorted(by_value.items()):
+            lit = (
+                F.lit(None) if value == "__HIVE_DEFAULT_PARTITION__" else F.lit(value)
+            ).cast(dtype)
+            part = self.spark.read.schema(reduced).parquet(*vfiles).withColumn(
+                partition_col, lit
+            ).select(*[f.name for f in schema.fields])
+            fixed = part if fixed is None else fixed.unionByName(part)
+        new_files = self._stage(table, fixed, [partition_col])
+        keep = [f for f in self.files(table) if f not in set(legacy)]
+        return self._commit(
+            table, keep + new_files,
+            {"migrated_legacy_files": len(legacy), "partition_col": partition_col},
+        )
+
     def overwrite_partitions(self, table: str, df: DataFrame, partition_col: str,
                              touched: list, meta: dict | None = None,
                              base_version: int | None = None) -> int:
@@ -235,6 +287,16 @@ class SnapshotStore:
         staged file paths).  ``base_version`` pins which snapshot the
         untouched files carry over from (a round merging against pinned
         reads passes its pin so the commit is consistent with them)."""
+        legacy = self._legacy_partition_files(table, partition_col, base_version)
+        if legacy:
+            raise ValueError(
+                f"table {table!r} carries {len(legacy)} pre-mirror-layout "
+                f"files (partition value only in '{partition_col}=' dir "
+                "names); their rows read back NULL and a partial merge "
+                "would keep them as stale duplicates — run "
+                "migrate_legacy_partitions() first (a plain overwrite "
+                "would persist the NULLs, losing the bucket values)"
+            )
         # null partition values land in Spark's default-partition dir
         touched_set = {
             "__HIVE_DEFAULT_PARTITION__" if t is None else str(t) for t in touched

@@ -69,3 +69,46 @@ def test_append_many_single_job_per_table_manifests(spark, store):
     # second merged append accumulates (append, not overwrite)
     store.append_many({"ta": a, "tb": b})
     assert store.count("ta") == 2 and store.count("tb") == 2
+
+
+def test_legacy_layout_refused_then_migrated(spark, store, tmp_path):
+    """Round-4 advice #4: a store written BEFORE the mirror-column
+    layout (partition value only in bucket=N dir names) reads back NULL
+    buckets, so a partial merge would keep its rows as stale
+    duplicates.  overwrite_partitions must refuse until
+    migrate_legacy_partitions rewrites the files with the column
+    reconstructed from the dir names."""
+    import os
+
+    import pytest
+
+    df = _tbl(spark, [(i, i % 3, f"r{i}") for i in range(9)])
+    # write a genuine pre-mirror table: partitionBy drops the column
+    # from file data, the value survives only in the dir name
+    stage = str(tmp_path / "legacy")
+    df.write.partitionBy("bucket").parquet(stage)
+    files = sorted(
+        os.path.join(dp, fn)
+        for dp, _dirs, fns in os.walk(stage)
+        for fn in fns
+        if fn.endswith(".parquet")
+    )
+    store._commit("t", files, {"legacy": True})
+
+    # the hazard is real: every row reads back with a NULL bucket
+    got = store.read("t", df.schema)
+    assert got.filter(F.col("bucket").isNull()).count() == 9
+
+    new = _tbl(spark, [(100, 0, "new")])
+    with pytest.raises(ValueError, match="pre-mirror-layout"):
+        store.overwrite_partitions("t", new, "bucket", [0])
+
+    v = store.migrate_legacy_partitions("t", "bucket", df.schema)
+    assert v is not None
+    fixed = {(r.id, r.bucket, r.v) for r in store.read("t", df.schema).collect()}
+    assert fixed == {(i, i % 3, f"r{i}") for i in range(9)}  # values reconstructed
+    # second call is a no-op; partial merge now works
+    assert store.migrate_legacy_partitions("t", "bucket", df.schema) is None
+    store.overwrite_partitions("t", new, "bucket", [0])
+    after = {(r.id, r.bucket, r.v) for r in store.read("t", df.schema).collect()}
+    assert after == {(100, 0, "new")} | {(i, i % 3, f"r{i}") for i in range(9) if i % 3 != 0}
