@@ -432,6 +432,38 @@ def feed_action(store: SnapshotStore, action: dict) -> None:
     )
 
 
+def index_status(store: SnapshotStore, my_id: str, start_time: float,
+                 now: float | None = None) -> dict:
+    """REST '/' index analog (rest/rest_service.py:577-601): uptime,
+    node id, per-backend connectivity, aggregate node_health (GREEN
+    both / YELLOW one / RED none — rest_service.py:518-529).  The
+    reference's two backends (kafka feed, redis state) map to the
+    engine's: the action-feed table being committable and the snapshot
+    store root being readable."""
+    import os
+    import time as _time
+
+    now = _time.time() if now is None else now
+    store_ok = os.path.isdir(store.root)
+    feed_ok = True
+    try:
+        store.current_version("actions")
+    except Exception:
+        feed_ok = False
+    health = (
+        "GREEN" if store_ok and feed_ok
+        else "YELLOW" if store_ok or feed_ok
+        else "RED"
+    )
+    return {
+        "feed_connected": feed_ok,
+        "store_connected": store_ok,
+        "uptime_sec": int(now - start_time),
+        "my_id": my_id,
+        "node_health": health,
+    }
+
+
 def poll_outbound(store: SnapshotStore, uuid: str) -> dict | None:
     """REST /poll analog (rest/rest_service.py:660-694): fetch the
     buffered result for a request uuid from the outbound table.

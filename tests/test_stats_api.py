@@ -138,3 +138,28 @@ def test_hll_sketch_incremental_merge_equals_batch(spark):
     assert merged == whole  # identical registers, not just close
     exact = 625  # per k: ids in one residue class mod 4 hit 625 of the 2500 v values
     assert all(abs(v - exact) / exact < 0.05 for v in whole.values())
+
+
+def test_index_status(spark, store):
+    """REST '/' index analog (rest_service.py:577-601): uptime, node id,
+    backend connectivity, GREEN/YELLOW/RED health."""
+    from scrapy_cluster_spark.operators.control import index_status
+
+    s = index_status(store, my_id="node-1", start_time=100.0, now=160.5)
+    assert s == {
+        "feed_connected": True,
+        "store_connected": True,
+        "uptime_sec": 60,
+        "my_id": "node-1",
+        "node_health": "GREEN",
+    }
+
+    class _Broken:
+        root = "/nonexistent/definitely/not/here"
+
+        def current_version(self, table):
+            raise OSError("backend down")
+
+    s2 = index_status(_Broken(), my_id="node-2", start_time=0.0, now=1.0)
+    assert s2["node_health"] == "RED"
+    assert not s2["store_connected"] and not s2["feed_connected"]
