@@ -383,15 +383,32 @@ def q_minhash_neardup(spark, sf):
     return D.minhash_neardup_pairs(docs, threshold=0.5, handles=_LIVE_HANDLES)
 
 
-def _simhash_sigs_path(sf: str) -> str:
-    """Side parquet holding the (deterministic) simhash signatures so
-    the DuckDB oracle can run the banding+Hamming half over the SAME
-    bits (round-4 verdict next-round #5: the signature UDF is the only
-    non-SQL part of the family; everything downstream is exact)."""
+def _side_path(kind: str, sf: str) -> str:
+    """Path of a write-once side parquet shared with the DuckDB oracle —
+    the channel through which a query's non-SQL half (a signature /
+    bucketing / quantizer UDF, deterministic in the fixed corpus) hands
+    its exact output to SQL, so the deterministic downstream half gets
+    hash-checked instead of rows-only (round-4 verdict next-round #5)."""
     import os
 
     token = os.path.basename(sf.rstrip("/")) or "sf"
-    return f"/tmp/scs_simhash_sigs_v1_{token}"
+    return f"/tmp/scs_{kind}_v1_{token}"
+
+
+def _side_parquet(spark, path: str, build) -> DataFrame:
+    """Write-once side parquet: ``build()`` is a pure function of the
+    (fixed) corpus, so an existing file is identical to what a rewrite
+    would produce — reuse keeps reruns stable and concurrent-read-safe."""
+    import os
+
+    if not os.path.isdir(path):
+        stage = path + ".stage"
+        build().coalesce(4).write.mode("overwrite").parquet(stage)
+        try:
+            os.rename(stage, path)
+        except OSError:
+            pass  # lost a benign race to another writer of the same bits
+    return spark.read.parquet(path)
 
 
 def q_simhash_buckets(spark, sf):
@@ -400,23 +417,14 @@ def q_simhash_buckets(spark, sf):
     UDF, not SQL-expressible) is written once to a side parquet; the
     deterministic banding + Hamming half runs over that file in BOTH
     engines, so the family is hash-checked, not rows-only."""
-    import os
-
     docs = _t(spark, sf, "documents")
-    path = _simhash_sigs_path(sf)
-    if not os.path.isdir(path):
-        # signatures are a pure function of the (fixed) corpus text, so
-        # an existing side file is identical to what a rewrite would
-        # produce — reuse keeps reruns stable and concurrent-read-safe
-        stage = path + ".stage"
-        docs.select(
+    sigs = _side_parquet(
+        spark,
+        _side_path("simhash_sigs", sf),
+        lambda: docs.select(
             "doc_id", D.simhash_udf(T.word_shingles("text")).alias("sig")
-        ).coalesce(4).write.mode("overwrite").parquet(stage)
-        try:
-            os.rename(stage, path)
-        except OSError:
-            pass  # lost a benign race to another writer of the same bits
-    sigs = spark.read.parquet(path)
+        ),
+    )
     bands = sigs.select(
         "doc_id", "sig",
         F.posexplode(
@@ -488,25 +496,59 @@ def q_embedding_clusters(spark, sf):
 
 def q_lsh_ann_topk(spark, sf):
     """Multi-table hyperplane-LSH bucketed ANN (recall-floor-tested vs
-    brute force) — approximate, rows-only check."""
+    brute force).  The bucketing UDF's (id, table, bucket) keys are
+    shared with DuckDB via a side parquet; the candidate join + exact
+    cosine rerank + top-k runs over them in BOTH engines — the family
+    is hash-checked, ANN recall stays approximate by design."""
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    return V.lsh_ann_topk(queries, corpus, k=5, n_hint=_nrows(sf, "embeddings"))
+    n = _nrows(sf, "embeddings") or corpus.count()
+    planes, _ = V.derive_lsh_params(n, 0.5)
+    tables = V.tables_for_planes(planes, 0.5, 0.9)
+    keys = _side_parquet(
+        spark,
+        _side_path("lsh_keys", sf),
+        lambda: V.multitable_keys(emb, "vec_id", "embedding", planes, tables),
+    )
+    kq = keys.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "table", "bucket"
+    )
+    kc = keys.select(F.col("vec_id").alias("c_id"), "table", "bucket")
+    return V.ann_topk_from_keys(kq, kc, queries, corpus, k=5)
 
 
 def q_ivf_ann_topk(spark, sf):
     """IVF ANN (k-means coarse quantizer, nprobe cell probe + exact
-    rerank) — the second scale path; approximate, rows-only check
-    (iterative training is not SQL-expressible)."""
+    rerank) — the second scale path.  The trained quantizer's cell
+    assignments/probes are shared with DuckDB via a side parquet; the
+    cell join + rerank is hash-checked in both engines."""
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    return V.ivf_ann_topk(queries, corpus, k=5)
+
+    def build():
+        assigns, probes = V.ivf_cells(queries, corpus, n_centroids=16, nprobe=4)
+        return assigns.select(
+            F.col("c_id").alias("vec_id"), F.lit("assign").alias("kind"), "cell"
+        ).unionByName(
+            probes.select(
+                F.col("q_id").alias("vec_id"), F.lit("probe").alias("kind"), "cell"
+            )
+        )
+
+    side = _side_parquet(spark, _side_path("ivf_cells", sf), build)
+    assigns = side.filter(F.col("kind") == "assign").select(
+        F.col("vec_id").alias("c_id"), "cell"
+    )
+    probes = side.filter(F.col("kind") == "probe").select(
+        F.col("vec_id").alias("q_id"), "cell"
+    )
+    return V.ivf_topk_from_cells(assigns, probes, queries, corpus, k=5)
 
 
 # ---------------------------------------------------------------------------
@@ -928,7 +970,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_buckets": f"""
             WITH bands AS (
               SELECT doc_id, sig, band, (sig >> (band * 16)) & 65535 AS bucket
-              FROM read_parquet('{_simhash_sigs_path("sf0.01")}/*.parquet'),
+              FROM read_parquet('{_side_path("simhash_sigs", "sf0.01")}/*.parquet'),
                    (SELECT unnest([0, 1, 2, 3]) AS band)
             )
             SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
@@ -986,5 +1028,57 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS vec_id, min(r) AS cluster_id, min(r) = id AS is_canonical
             FROM reach GROUP BY id
+        """,
+        # ANN families: the UDF half (hyperplane bucketing / trained
+        # quantizer) is shared via the side parquet the Spark query
+        # writes; candidate join + exact cosine rerank + top-k is the
+        # same SQL in both engines.
+        "lsh_ann_topk": f"""
+            WITH keys AS (
+              SELECT * FROM read_parquet('{_side_path("lsh_keys", "sf0.01")}/*.parquet')
+            ),
+            q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
+            cand AS (
+              SELECT DISTINCT kq.vec_id AS q_id, kc.vec_id AS c_id
+              FROM keys kq JOIN keys kc
+                ON kq."table" = kc."table" AND kq.bucket = kc.bucket
+              WHERE kq.vec_id < 5 AND kc.vec_id <> kq.vec_id
+            ),
+            scored AS (
+              SELECT cand.q_id, cand.c_id,
+                     round(list_dot_product(qv, cv)
+                           / (sqrt(list_dot_product(qv, qv))
+                              * sqrt(list_dot_product(cv, cv))), 4) AS cos
+              FROM cand JOIN q USING (q_id) JOIN c USING (c_id)
+            )
+            SELECT q_id, c_id, cos, rank
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM scored)
+            WHERE rank <= 5
+        """,
+        "ivf_ann_topk": f"""
+            WITH side AS (
+              SELECT * FROM read_parquet('{_side_path("ivf_cells", "sf0.01")}/*.parquet')
+            ),
+            probes AS (SELECT vec_id AS q_id, cell FROM side WHERE kind = 'probe'),
+            assigns AS (SELECT vec_id AS c_id, cell FROM side WHERE kind = 'assign'),
+            q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
+            scored AS (
+              SELECT p.q_id, a.c_id,
+                     round(list_dot_product(qv, cv)
+                           / (sqrt(list_dot_product(qv, qv))
+                              * sqrt(list_dot_product(cv, cv))), 4) AS cos
+              FROM probes p JOIN assigns a USING (cell)
+              JOIN q ON q.q_id = p.q_id JOIN c ON c.c_id = a.c_id
+              WHERE p.q_id <> a.c_id
+            )
+            SELECT q_id, c_id, cos, rank
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM scored)
+            WHERE rank <= 5
         """,
     }

@@ -338,6 +338,55 @@ def _ivf_cell_udfs(centroids: np.ndarray, nprobe: int):
     return assign_udf, probe_udf
 
 
+def ivf_cells(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_q: str = "q_id",
+    id_c: str = "c_id",
+    vec_q: str = "q_vec",
+    vec_c: str = "c_vec",
+) -> tuple[DataFrame, DataFrame]:
+    """(corpus cell assignments, query cell probes) — the trained/UDF
+    half of ivf_ann_topk, exposed so the driver contract can share the
+    exact cell ids with the DuckDB oracle via a side parquet."""
+    C = train_ivf_centroids(corpus, vec_c, id_c, n_centroids)
+    assign_udf, probe_udf = _ivf_cell_udfs(C, nprobe)
+    assigns = corpus.select(id_c, assign_udf(F.col(vec_c)).alias("cell"))
+    probes = queries.select(id_q, F.explode(probe_udf(F.col(vec_q))).alias("cell"))
+    return assigns, probes
+
+
+def ivf_topk_from_cells(
+    assigns: DataFrame,
+    probes: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_q: str = "q_id",
+    id_c: str = "c_id",
+    vec_q: str = "q_vec",
+    vec_c: str = "c_vec",
+) -> DataFrame:
+    """Deterministic half of ivf_ann_topk: cell equi-join on
+    precomputed assignments/probes, exact cosine rerank, per-query
+    window top-k.  A (q,c) pair appears at most once (each corpus
+    vector is assigned exactly ONE cell), so no distinct is needed."""
+    from pyspark.sql import Window
+
+    qb = probes.join(F.broadcast(queries), id_q)
+    cb = assigns.join(corpus, id_c)
+    scored = F.broadcast(qb).join(cb, "cell").withColumn("cos", cosine(vec_q, vec_c))
+    w = Window.partitionBy(id_q).orderBy(F.desc("cos"), F.asc(id_c))
+    return (
+        scored.filter(F.col(id_q) != F.col(id_c))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_q, id_c, "cos", "rank")
+    )
+
+
 def ivf_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -359,6 +408,10 @@ def ivf_ann_topk(
     exact cosine reranks.  Recall < 1 by construction (rows-only
     correctness check; recall itself is pinned by
     tests/test_pipeline_ops.py)."""
+    # inline withColumn plan (not ivf_topk_from_cells): tagging cells in
+    # place keeps the corpus pass LINEAR — the from_cells form pays an
+    # id equi-join to reattach vectors, which only the oracle-sharing
+    # driver path (keys from a side parquet) needs
     from pyspark.sql import Window
 
     C = train_ivf_centroids(corpus, vec_c, id_c, n_centroids)
@@ -370,6 +423,59 @@ def ivf_ann_topk(
     return (
         scored.filter(F.col(id_q) != F.col(id_c))
         .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_q, id_c, "cos", "rank")
+    )
+
+
+def multitable_keys(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes_per_table: int,
+    n_tables: int,
+) -> DataFrame:
+    """(id, table, bucket) keys from the multi-table hyperplane UDF —
+    the non-SQL half of the ANN plan, exposed so the driver contract can
+    share the exact key bits with the DuckDB oracle via a side parquet
+    (the join + rerank downstream is plain SQL in both engines)."""
+    udf = _multitable_udf(planes_per_table, n_tables)
+    return df.select(
+        id_col, F.posexplode(udf(F.col(vec_col))).alias("table", "bucket")
+    )
+
+
+def ann_topk_from_keys(
+    keys_q: DataFrame,
+    keys_c: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_q: str = "q_id",
+    id_c: str = "c_id",
+    vec_q: str = "q_vec",
+    vec_c: str = "c_vec",
+) -> DataFrame:
+    """Deterministic half of lsh_ann_topk: bucket equi-join on
+    precomputed keys, distinct candidates, exact cosine rerank,
+    per-query window top-k."""
+    from pyspark.sql import Window
+
+    cand = (
+        F.broadcast(keys_q)
+        .join(keys_c, ["table", "bucket"])
+        .filter(F.col(id_q) != F.col(id_c))
+        .select(id_q, id_c)
+        .distinct()
+    )
+    scored = (
+        cand.join(F.broadcast(queries), id_q)
+        .join(corpus, id_c)
+        .withColumn("cos", cosine(vec_q, vec_c))
+    )
+    w = Window.partitionBy(id_q).orderBy(F.desc("cos"), F.asc(id_c))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(id_q, id_c, "cos", "rank")
     )
@@ -406,35 +512,11 @@ def lsh_ann_topk(
     shuffled), broadcast the small query side, equi-join on
     (table, bucket), distinct (q, c) candidate pairs, join vectors back,
     JVM-side cosine, per-query window top-k."""
-    from pyspark.sql import Window
-
     n = n_hint if n_hint is not None else corpus.count()
     if planes_per_table is None:
         planes_per_table, _ = derive_lsh_params(n, target_sim)
     if n_tables is None:
         n_tables = tables_for_planes(planes_per_table, target_sim, recall)
-    udf = _multitable_udf(planes_per_table, n_tables)
-    qk = queries.select(
-        id_q, F.posexplode(udf(F.col(vec_q))).alias("table", "bucket")
-    )
-    ck = corpus.select(
-        id_c, F.posexplode(udf(F.col(vec_c))).alias("table", "bucket")
-    )
-    cand = (
-        F.broadcast(qk)
-        .join(ck, ["table", "bucket"])
-        .filter(F.col(id_q) != F.col(id_c))
-        .select(id_q, id_c)
-        .distinct()
-    )
-    scored = (
-        cand.join(F.broadcast(queries), id_q)
-        .join(corpus, id_c)
-        .withColumn("cos", cosine(vec_q, vec_c))
-    )
-    w = Window.partitionBy(id_q).orderBy(F.desc("cos"), F.asc(id_c))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_q, id_c, "cos", "rank")
-    )
+    qk = multitable_keys(queries, id_q, vec_q, planes_per_table, n_tables)
+    ck = multitable_keys(corpus, id_c, vec_c, planes_per_table, n_tables)
+    return ann_topk_from_keys(qk, ck, queries, corpus, k, id_q, id_c, vec_q, vec_c)
