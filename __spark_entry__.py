@@ -476,7 +476,9 @@ def q_embedding_neardup(spark, sf):
     deterministic (seeded planes) and asserted by
     tests/test_pipeline_ops.py::test_neardup_lsh_equals_bruteforce."""
     emb = _t(spark, sf, "embeddings")
-    return V.neardup_pairs_lsh(emb, threshold=0.45, n_hint=_nrows(sf, "embeddings"))
+    return V.neardup_pairs_lsh(
+        emb, threshold=0.45, n_hint=_nrows(sf, "embeddings"), handles=_LIVE_HANDLES
+    )
 
 
 def q_embedding_clusters(spark, sf):

@@ -36,10 +36,19 @@ def cap_hot_buckets(
     key_cols: list[str],
     id_col: str,
     cap: int,
+    handles: list | None = None,
 ) -> DataFrame:
     """Return ``keys`` with every ``key_cols`` group trimmed to its
     ``cap`` lowest ``id_col`` values; groups at or under ``cap`` pass
-    through without a window sort."""
+    through without a window sort.
+
+    ``keys`` is referenced THREE times (count, cold anti-join, hot
+    window) — pass ``handles`` to persist it so the upstream key-build
+    UDF (minhash banding / hyperplane projection) runs once, not three
+    times; the caller owns the unpersist via the handle list."""
+    if handles is not None:
+        keys = keys.persist()
+        handles.append(keys)
     counts = keys.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_n"))
     hot = F.broadcast(counts.filter(F.col("_n") > cap).select(*key_cols))
     cold = keys.join(hot, key_cols, "left_anti")

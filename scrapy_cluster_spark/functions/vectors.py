@@ -188,6 +188,7 @@ def lsh_candidate_pairs(
     threshold: float = 0.45,
     n_hint: int | None = None,
     max_bucket_rows: int | None = DEFAULT_MAX_BUCKET_ROWS,
+    handles: list | None = None,
 ) -> DataFrame:
     """Distinct candidate (a<b) pairs from the multi-table bucketing —
     the sub-quadratic half of ``neardup_pairs_lsh``, exposed so tests
@@ -217,7 +218,9 @@ def lsh_candidate_pairs(
     if max_bucket_rows is not None:
         from scrapy_cluster_spark.functions.skew import cap_hot_buckets
 
-        keys = cap_hot_buckets(keys, ["table", "bucket"], "_id", max_bucket_rows)
+        keys = cap_hot_buckets(
+            keys, ["table", "bucket"], "_id", max_bucket_rows, handles
+        )
     left = keys.select(F.col("_id").alias("a"), "table", "bucket")
     right = keys.select(F.col("_id").alias("b"), "table", "bucket")
     return (
@@ -238,6 +241,7 @@ def neardup_pairs_lsh(
     n_tables: int | None = None,
     n_hint: int | None = None,
     max_bucket_rows: int | None = DEFAULT_MAX_BUCKET_ROWS,
+    handles: list | None = None,
 ) -> DataFrame:
     """All (a<b) pairs with cosine ≥ threshold — LSH-bucketed candidates,
     exact cosine verify.  Same output as the all-pairs cross join (the
@@ -256,7 +260,7 @@ def neardup_pairs_lsh(
     a count job)."""
     cand = lsh_candidate_pairs(
         emb, id_col, vec_col, planes_per_table, n_tables, threshold,
-        n_hint, max_bucket_rows,
+        n_hint, max_bucket_rows, handles,
     )
     va = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     vb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
