@@ -119,6 +119,16 @@ def _gate_batch(
             thresh = window[0] + window_s
             j = int(np.searchsorted(ts_eff, thresh, side="left"))
             i = j if j > i else i + 1
+    # final trim: the run-skipping loop evicts lazily (a bulk admit can
+    # leave already-aged entries behind), which never changes a
+    # decision — eviction at any later event re-covers them — but the
+    # carried state should be the CANONICAL reference zset (admitted
+    # hits > last_t − window), both for state-store size and so restart
+    # state equals what the reference would persist
+    if n:
+        t_last = ts_eff[-1]
+        while window and window[0] <= t_last - window_s:
+            window.popleft()
     return admitted
 
 

@@ -184,3 +184,93 @@ def test_stratified_sample_property(spark, rows, cap):
     again = {r.doc_id for r in
              stratified_sample(df.repartition(5), ["lang"], cap).collect()}
     assert again == {r.doc_id for r in got}
+
+
+# ---------------------------------------------------------------------------
+# pure-Python: streaming politeness gate ≡ the reference zset algorithm
+# ---------------------------------------------------------------------------
+
+def _zset_gate(ts_list, hits, window_s):
+    """Naive per-event transliteration of RedisThrottledQueue.allowed()
+    (utils/scutils/redis_throttled_queue.py:112-157): evict admitted
+    hits scored <= now - window (zremrangebyscore '-inf'..now-window is
+    inclusive), admit iff fewer than ``hits`` remain, zadd on success."""
+    zset, out = [], []
+    for t in ts_list:
+        zset = [a for a in zset if a > t - window_s]
+        ok = len(zset) < hits
+        if ok:
+            zset.append(t)
+        out.append(ok)
+    return out, zset
+
+
+gate_events = st.lists(
+    st.floats(min_value=0, max_value=300, allow_nan=False, width=32),
+    min_size=1, max_size=80,
+)
+
+
+@given(gate_events,
+       st.integers(min_value=1, max_value=6),
+       st.integers(min_value=1, max_value=90))
+def test_gate_batch_matches_reference_zset(ts, hits, window_s):
+    """_gate_batch over a sorted timestamp array admits EXACTLY the
+    events the reference's per-event zset check admits — the vectorized
+    run-skipping loop may never diverge from the transliteration."""
+    from collections import deque
+
+    import numpy as np
+
+    from scrapy_cluster_spark.streaming.throttle_stream import _gate_batch
+
+    ts_sorted = sorted(ts)
+    window: deque = deque()
+    got = _gate_batch(
+        np.array(ts_sorted, dtype=np.float64), window, hits, float(window_s)
+    )
+    want, zset = _zset_gate(ts_sorted, hits, float(window_s))
+    assert got.tolist() == want
+    # carried state equals the reference zset trimmed to the last event
+    assert sorted(window) == sorted(zset)
+
+
+@given(gate_events,
+       st.integers(min_value=1, max_value=6),
+       st.integers(min_value=1, max_value=90),
+       st.lists(st.integers(min_value=1, max_value=79), max_size=6, unique=True))
+def test_gate_batch_split_invariant(ts, hits, window_s, cuts):
+    """Replaying a time-ordered event stream in arbitrary consecutive
+    micro-batches — carrying (window, hwm) across batches exactly as
+    _gate_fn's state does — admits the same events as one batch:
+    micro-batch boundaries are invisible to the budget.  (Arrival time
+    is monotonic in the reference — Redis time at pop — so the sorted
+    stream is the semantic case; out-of-order event time goes through
+    the hwm clamp, covered by the zset-parity property and the
+    cannot-mint-budget unit test.)"""
+    from collections import deque
+
+    import numpy as np
+
+    from scrapy_cluster_spark.streaming.throttle_stream import _gate_batch
+
+    arr = np.sort(np.array(ts, dtype=np.float64))
+
+    def run(chunks):
+        window: deque = deque()
+        hwm = float("-inf")
+        out = []
+        for c in chunks:
+            if not len(c):
+                continue
+            eff = np.maximum.accumulate(np.maximum(c, hwm))
+            hwm = float(eff[-1])
+            out.extend(_gate_batch(eff, window, hits, float(window_s)).tolist())
+        return out, sorted(window)
+
+    bounds = sorted(b for b in cuts if b < len(arr))
+    split = np.split(arr, bounds) if bounds else [arr]
+    got_adm, got_win = run(split)
+    want_adm, want_win = run([arr])
+    assert got_adm == want_adm
+    assert got_win == want_win
