@@ -25,6 +25,7 @@ from scrapy_cluster_spark.functions import corpus as C
 from scrapy_cluster_spark.functions import dedup as D
 from scrapy_cluster_spark.functions import graph as G
 from scrapy_cluster_spark.functions import multimodal as M
+from scrapy_cluster_spark.functions import spans as S
 from scrapy_cluster_spark.functions import text as T
 from scrapy_cluster_spark.functions import vectors as V
 from scrapy_cluster_spark.sources.tables import load_table
@@ -383,6 +384,23 @@ def q_minhash_neardup(spark, sf):
     return D.minhash_neardup_pairs(docs, threshold=0.5, handles=_LIVE_HANDLES)
 
 
+def q_shared_spans(spark, sf):
+    """Exact substring duplication (Lee et al. ACL'22 semantics,
+    suffix-array-free): maximal shared token runs >= 10 tokens between
+    distinct docs, via k-gram postings equi-join + gaps-and-islands per
+    (a, b, diagonal) — functions/spans.py."""
+    docs = _t(spark, sf, "documents")
+    return S.shared_token_spans(docs, k=6, min_len=10)
+
+
+def q_substring_dedup(spark, sf):
+    """Per-doc duplicated-token accounting against lower-id docs:
+    interval-union of shared spans on the b side -> coverage fraction +
+    is_span_dup flag (the substring-level analog of exact_dedup)."""
+    docs = _t(spark, sf, "documents")
+    return S.span_coverage(docs, k=6, min_len=10, dup_threshold=0.5)
+
+
 def _side_path(kind: str, sf: str) -> str:
     """Path of a write-once side parquet shared with the DuckDB oracle —
     the channel through which a query's non-SQL half (a signature /
@@ -608,6 +626,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": q_neardup_clusters,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_neardup": q_minhash_neardup,
+        "shared_spans": q_shared_spans,
+        "substring_dedup": q_substring_dedup,
         "simhash_buckets": q_simhash_buckets,
         "media_meta": q_media_meta,
         "cosine_topk": q_cosine_topk,
@@ -616,6 +636,32 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
     }
+
+
+# k=6 gram postings → cross-doc matches → diagonal runs (gaps-and-
+# islands): the DuckDB replay of functions/spans.py's dot-plot plan
+_SPANS_SQL = """
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(
+        generate_series(1, len(w) - 5),
+        i -> {'pos': i, 'gram': array_to_string(w[i:i+5], ' ')})) AS pg
+      FROM words WHERE len(w) >= 6
+    ),
+    g AS (SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM grams),
+    m AS (
+      SELECT ga.doc_id AS a, gb.doc_id AS b, ga.pos AS pa, gb.pos AS pb,
+             ga.pos - gb.pos AS diag
+      FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+    ),
+    runs AS (
+      SELECT a, b, diag, pa, pb,
+             pa - row_number() OVER (PARTITION BY a, b, diag ORDER BY pa) AS isl
+      FROM m
+    )
+"""
 
 
 _SHINGLE_CTE = """
@@ -963,6 +1009,52 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_pairs": _JACCARD_SQL,
         "minhash_neardup": _JACCARD_SQL,
+        "shared_spans": _SPANS_SQL + """
+            SELECT a, b, min(pa) AS a_start, min(pb) AS b_start,
+                   max(pa) - min(pa) + 6 AS "length"
+            FROM runs GROUP BY a, b, diag, isl
+            HAVING max(pa) - min(pa) + 6 >= 10
+        """,
+        "substring_dedup": _SPANS_SQL + """,
+            spans AS (
+              SELECT b AS id, min(pb) AS s,
+                     min(pb) + (max(pa) - min(pa) + 6) - 1 AS e
+              FROM runs GROUP BY a, b, diag, isl
+              HAVING max(pa) - min(pa) + 6 >= 10
+            ),
+            marks AS (
+              SELECT id, s, e,
+                     CASE WHEN s > coalesce(max(e) OVER (
+                            PARTITION BY id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                          ) + 1, s - 1) THEN 1 ELSE 0 END AS newisl
+              FROM spans
+            ),
+            isls AS (
+              SELECT id, s, e,
+                     sum(newisl) OVER (PARTITION BY id ORDER BY s, e
+                                       ROWS UNBOUNDED PRECEDING) AS isl
+              FROM marks
+            ),
+            cov AS (
+              SELECT id, CAST(sum(ce) AS BIGINT) AS covered FROM (
+                SELECT id, isl, max(e) - min(s) + 1 AS ce
+                FROM isls GROUP BY id, isl
+              ) GROUP BY id
+            ),
+            nt AS (
+              SELECT doc_id,
+                     len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+              FROM documents
+            )
+            SELECT nt.doc_id, nt.n_tokens,
+                   coalesce(cov.covered, 0) AS covered_tokens,
+                   coalesce(cov.covered, 0) / greatest(nt.n_tokens, 1)
+                     AS coverage,
+                   coalesce(cov.covered, 0) / greatest(nt.n_tokens, 1) >= 0.5
+                     AS is_span_dup
+            FROM nt LEFT JOIN cov ON cov.id = nt.doc_id
+        """,
         # the signature pass (UDF) is shared via the side parquet the
         # Spark query writes (deterministic in the corpus text); the
         # banding + Hamming half is plain SQL in both engines.  DuckDB's

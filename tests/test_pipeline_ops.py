@@ -772,6 +772,97 @@ class TestCorpusAssembly:
         assert shards == list(range(len(shards)))
 
 
+class TestSharedSpans:
+    """Exact substring duplication (functions/spans.py): maximal shared
+    token runs via gram-postings join + diagonal gaps-and-islands."""
+
+    @staticmethod
+    def _mk(spark, texts):
+        return spark.createDataFrame(
+            list(enumerate(texts)), ["doc_id", "text"]
+        )
+
+    def test_planted_span_exact_and_maximal(self, spark):
+        from scrapy_cluster_spark.functions.spans import shared_token_spans
+
+        run = " ".join(f"w{i}" for i in range(20))          # 20-token paste
+        docs = self._mk(spark, [
+            f"alpha beta {run} gamma delta",                 # run at pos 3
+            f"x1 x2 x3 x4 x5 {run}",                         # run at pos 6
+            "unrelated text with none of those tokens here",
+        ])
+        got = shared_token_spans(docs, k=6, min_len=10).collect()
+        # ONE maximal row, not a fragment per k-gram
+        assert [(r.a, r.b, r.a_start, r.b_start, r.length) for r in got] == [
+            (0, 1, 3, 6, 20)
+        ]
+
+    def test_repeated_paste_yields_one_span_per_diagonal(self, spark):
+        from scrapy_cluster_spark.functions.spans import shared_token_spans
+
+        run = " ".join(f"w{i}" for i in range(12))
+        docs = self._mk(spark, [
+            f"{run} filler0 filler1",
+            f"{run} mid1 mid2 mid3 {run}",                   # pasted twice
+        ])
+        got = sorted(
+            (r.a_start, r.b_start, r.length)
+            for r in shared_token_spans(docs, k=6, min_len=12).collect()
+        )
+        assert got == [(1, 1, 12), (1, 16, 12)]
+
+    def test_below_min_len_not_reported(self, spark):
+        from scrapy_cluster_spark.functions.spans import shared_token_spans
+
+        run = " ".join(f"w{i}" for i in range(8))            # 8 < min_len 10
+        docs = self._mk(spark, [f"a b c {run}", f"d e f g {run}"])
+        assert shared_token_spans(docs, k=6, min_len=10).count() == 0
+
+    def test_coverage_unions_overlapping_spans(self, spark):
+        from scrapy_cluster_spark.functions.spans import span_coverage
+
+        run = " ".join(f"w{i}" for i in range(30))
+        # docs 0 and 1 both share the SAME 30-token run with doc 2 →
+        # doc 2's two span intervals coincide and must count once
+        docs = self._mk(spark, [
+            f"a0 a1 {run}",
+            f"b0 b1 b2 {run}",
+            f"c0 {run} c1 c2 c3",
+        ])
+        cov = {r.doc_id: r for r in span_coverage(docs, k=6, min_len=10).collect()}
+        assert cov[2].covered_tokens == 30        # union, not 60
+        assert cov[2].n_tokens == 34
+        assert cov[2].is_span_dup                 # 30/34 >= 0.5
+        assert cov[0].covered_tokens == 0         # a<b charges the LATER doc
+        assert cov[1].covered_tokens == 30
+
+    def test_gram_df_cap_bounds_postings_and_keeps_rare_runs(self, spark):
+        from scrapy_cluster_spark.functions.spans import (
+            gram_postings,
+            shared_token_spans,
+        )
+
+        boiler = " ".join("the quick brown fox jumps over" for _ in range(2))
+        rare = " ".join(f"r{i}" for i in range(15))
+        docs = self._mk(
+            spark,
+            [f"{boiler} pad{i}" for i in range(40)]          # mega-gram corpus
+            + [f"{rare} u0 u1", f"z0 z1 {rare}"],
+        )
+        g = gram_postings(docs, k=6)
+        from pyspark.sql import functions as F
+
+        hot_df = (
+            g.groupBy("gram").agg(F.count_distinct("id").alias("d"))
+            .agg(F.max("d")).collect()[0][0]
+        )
+        assert hot_df >= 40                                  # the skew exists
+        capped = shared_token_spans(docs, k=6, min_len=12, max_gram_df=8)
+        rows = [(r.a, r.b, r.length) for r in capped.collect()]
+        # boilerplate mega-gram pairs dropped; the rare 15-token run kept
+        assert rows == [(40, 41, 15)]
+
+
 class TestQuerySurfaceLifecycle:
     def test_repeated_queries_bound_executor_storage(self, spark):
         """Repeated invocations of the persist-backed queries hold at
@@ -782,10 +873,16 @@ class TestQuerySurfaceLifecycle:
 
         spark.catalog.clearCache()
         qs = entrymod.queries()
-        for _ in range(3):
+        qs["minhash_neardup"](spark, "/root/testdata/sf0.001").count()
+        after_one = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        for _ in range(2):
             qs["minhash_neardup"](spark, "/root/testdata/sf0.001").count()
         n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-        assert n_cached <= 1
+        # the query holds its DECLARED intermediates (shingle set for the
+        # Jaccard verify + band keys for the hot-bucket cap's three
+        # references) and repeats reuse them (plan-identical persists
+        # share a CacheManager entry) — storage must not GROW with reps
+        assert n_cached == after_one <= 2
         entrymod.release_caches()
         assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
 

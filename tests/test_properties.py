@@ -274,3 +274,54 @@ def test_gate_batch_split_invariant(ts, hits, window_s, cuts):
     want_adm, want_win = run([arr])
     assert got_adm == want_adm
     assert got_win == want_win
+
+
+# ---------------------------------------------------------------------------
+# Spark-backed: shared_token_spans ≡ naive per-pair diagonal scan
+# ---------------------------------------------------------------------------
+
+def _naive_spans(token_lists, k, min_len):
+    """Brute-force dot plot: maximal equal-token diagonal runs of
+    length >= min_len for every doc pair (a < b).  For min_len >= k
+    this is exactly what the gram-postings plan must produce."""
+    out = set()
+    for a in range(len(token_lists)):
+        for b in range(a + 1, len(token_lists)):
+            ta, tb = token_lists[a], token_lists[b]
+            for diag in range(-len(tb) + 1, len(ta)):
+                i = max(0, diag)
+                j = i - diag
+                run = 0
+                while i <= len(ta) and j <= len(tb):
+                    if i < len(ta) and j < len(tb) and ta[i] == tb[j]:
+                        run += 1
+                    else:
+                        if run >= min_len:
+                            out.add((a, b, i - run + 1, j - run + 1, run))
+                        run = 0
+                    i += 1
+                    j += 1
+    return out
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.lists(st.sampled_from(["x", "y", "z"]), min_size=1, max_size=18),
+    min_size=2, max_size=5,
+))
+def test_shared_spans_property(spark, token_lists):
+    """Over a 3-word vocab (dense accidental matches, overlapping
+    diagonals, runs touching doc boundaries) the distributed plan's
+    span set equals the brute-force diagonal scan."""
+    from scrapy_cluster_spark.functions.spans import shared_token_spans
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(token_lists)],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.a, r.b, r.a_start, r.b_start, r.length)
+        for r in shared_token_spans(docs, k=2, min_len=3).collect()
+    }
+    assert got == _naive_spans(token_lists, 2, 3)
