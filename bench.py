@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "neardup_clusters",
     "stats_windows",
     "minhash_neardup",
+    "shared_spans",
+    "substring_dedup",
     "embedding_neardup",
     "embedding_clusters",
     "cosine_topk",

@@ -34,6 +34,8 @@ KEY_QUERIES = [
     "stratified_sample",
     "shard_packing",
     "lsh_ann_topk",
+    "shared_spans",
+    "substring_dedup",
 ]
 
 
