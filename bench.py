@@ -245,6 +245,25 @@ def ab_partial_merge(spark, n_reps: int = 3) -> dict:
     }
 
 
+def _materialize(df) -> None:
+    """Force EVERY output column of every row to evaluate, JVM-side.
+
+    ``.count()`` (the pre-round-5 protocol) lets Catalyst prune unused
+    columns and eliminate whole subtrees — a count over a left join
+    whose right side is an aggregation drops the join (substring_dedup
+    measured 0.3 s while its span subquery alone costs ~5 s), and
+    map-only queries (pii_scrub, doc_quality, ...) counted parquet
+    footers without ever running their expressions.  bit_xor(xxhash64
+    (all columns)) is unprunable, order-insensitive, and returns one
+    row to the driver, so the wall time is the query's compute, not
+    transfer."""
+    from pyspark.sql import functions as F
+
+    df.agg(
+        F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("dig")
+    ).collect()
+
+
 def run_queries(spark, sf_dir: str, n_reps: int = 3) -> tuple[dict, dict]:
     """Per-query wall seconds over ``n_reps`` INTERLEAVED repetitions
     (the probe's pinned/median protocol, BENCH/BASELINE.md): sub-second
@@ -257,7 +276,7 @@ def run_queries(spark, sf_dir: str, n_reps: int = 3) -> tuple[dict, dict]:
     for _rep in range(n_reps):
         for name in BENCH_QUERIES:
             t0 = time.time()
-            qs[name](spark, sf_dir).count()
+            _materialize(qs[name](spark, sf_dir))
             times[name].append(time.time() - t0)
         # drop persisted intermediates (minhash shingles, LSH keys) so
         # reps measure the same cold-cache plan and executor storage

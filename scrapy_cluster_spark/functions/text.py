@@ -130,13 +130,21 @@ def ngram_repetition(text: str | Column = "text", k: int = 3) -> Column:
     """Duplicated k-gram fraction — the within-document repetition
     signal LLM corpus filters use (Rae et al. Gopher §A.1.1, public):
     1 − distinct/total over word k-grams; 0.0 when fewer than k tokens.
-    Pure JVM higher-order functions — scan speed."""
+
+    The gram array is LET-BOUND via ``transform(array(g), a -> ...)[0]``
+    so it evaluates ONCE per row: higher-order functions are
+    CodegenFallback (interpreted), and referencing ``g`` three times in
+    the naive expression re-built every gram string thrice — 2.8× the
+    scan cost at sf0.1 (surfaced by the round-5 forced-materialization
+    bench protocol).  A lambda variable binds the evaluated value, so
+    every reference inside is free."""
     g = word_ngrams(text, k)
-    return F.when(F.size(g) <= 0, F.lit(0.0)).otherwise(
-        F.round(
-            F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g), 6
-        )
-    )
+    return F.transform(
+        F.array(g),
+        lambda a: F.when(F.size(a) <= 0, F.lit(0.0)).otherwise(
+            F.round(F.lit(1.0) - F.size(F.array_distinct(a)) / F.size(a), 6)
+        ),
+    )[0]
 
 
 # PII patterns restricted to the Java-regex ∩ RE2 common subset so the
