@@ -390,7 +390,7 @@ def q_shared_spans(spark, sf):
     distinct docs, via k-gram postings equi-join + gaps-and-islands per
     (a, b, diagonal) — functions/spans.py."""
     docs = _t(spark, sf, "documents")
-    return S.shared_token_spans(docs, k=6, min_len=10)
+    return S.shared_token_spans(docs, k=6, min_len=10, handles=_LIVE_HANDLES)
 
 
 def q_substring_dedup(spark, sf):
@@ -398,7 +398,9 @@ def q_substring_dedup(spark, sf):
     interval-union of shared spans on the b side -> coverage fraction +
     is_span_dup flag (the substring-level analog of exact_dedup)."""
     docs = _t(spark, sf, "documents")
-    return S.span_coverage(docs, k=6, min_len=10, dup_threshold=0.5)
+    return S.span_coverage(
+        docs, k=6, min_len=10, dup_threshold=0.5, handles=_LIVE_HANDLES
+    )
 
 
 def _side_path(kind: str, sf: str) -> str:

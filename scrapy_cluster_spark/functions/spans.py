@@ -72,6 +72,7 @@ def shared_token_spans(
     k: int = 6,
     min_len: int = 10,
     max_gram_df: int | None = None,
+    handles: list | None = None,
 ) -> DataFrame:
     """Maximal exact shared token runs between distinct docs:
     (a, b, a_start, b_start, length) with a < b, 1-based starts,
@@ -81,10 +82,19 @@ def shared_token_spans(
     two docs is ONE row of length 80, not 75 k-gram rows.  Repeated
     text WITHIN one doc pairs every occurrence across docs (one row per
     diagonal), matching the dot-plot definition.
+
+    ``handles``: the postings table is referenced on BOTH sides of the
+    self-join (plus twice more under ``max_gram_df``); pass a handle
+    list to persist it so the interpreted gram-building transform runs
+    once — the caller owns the unpersist (same lifecycle contract as
+    the LSH band keys in functions/dedup.py).
     """
     if min_len < k:
         raise ValueError(f"min_len ({min_len}) must be >= k ({k})")
     g = gram_postings(docs, id_col, text_col, k)
+    if handles is not None:
+        g = g.persist()
+        handles.append(g)
     if max_gram_df is not None:
         df_counts = g.groupBy("gram").agg(
             F.count_distinct("id").alias("_df")
@@ -123,6 +133,7 @@ def span_coverage(
     min_len: int = 10,
     dup_threshold: float = 0.5,
     max_gram_df: int | None = None,
+    handles: list | None = None,
 ) -> DataFrame:
     """Per-doc duplicated-content accounting against LOWER-id docs:
     (doc_id, n_tokens, covered_tokens, coverage, is_span_dup).
@@ -136,7 +147,7 @@ def span_coverage(
     fraction reaches ``dup_threshold`` — the substring-level analog of
     exact_dedup's is_dup."""
     spans = shared_token_spans(
-        docs, id_col, text_col, k, min_len, max_gram_df
+        docs, id_col, text_col, k, min_len, max_gram_df, handles
     ).select(
         F.col("b").alias("id"),
         F.col("b_start").alias("s"),
