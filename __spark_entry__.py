@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from scrapy_cluster_spark.functions import corpus as C
 from scrapy_cluster_spark.functions import dedup as D
 from scrapy_cluster_spark.functions import graph as G
+from scrapy_cluster_spark.functions import lm as L
 from scrapy_cluster_spark.functions import multimodal as M
 from scrapy_cluster_spark.functions import spans as S
 from scrapy_cluster_spark.functions import text as T
@@ -346,6 +347,37 @@ def q_source_rollup(spark, sf):
     return C.source_quality_rollup(docs)
 
 
+def q_vocab_topk(spark, sf):
+    """Top-100 corpus vocabulary by term frequency (token-text
+    tiebreak) — the deterministic head a tokenizer trainer consumes.
+    TakeOrdered two-phase top-k; no global sort."""
+    docs = _t(spark, sf, "documents")
+    return L.vocab_topk(docs, k=100)
+
+
+def q_tfidf_keywords(spark, sf):
+    """Per-doc top-5 TF-IDF keywords, ranked by integer keys only
+    (count desc, doc-freq asc, token asc) so selection is engine- and
+    cluster-size-exact; the rounded float score rides along."""
+    docs = _t(spark, sf, "documents")
+    return L.tfidf_topk(docs, m=5, handles=_LIVE_HANDLES)
+
+
+def q_token_entropy(spark, sf):
+    """Within-doc token-distribution Shannon entropy (nats) — the
+    repetition/diversity quality signal."""
+    docs = _t(spark, sf, "documents")
+    return L.token_entropy(docs)
+
+
+def q_unigram_xent(spark, sf):
+    """Cross-entropy per doc under the corpus's own unigram LM — the
+    exact, self-trained analog of CCNet's perplexity bucketing
+    signal."""
+    docs = _t(spark, sf, "documents")
+    return L.unigram_xent(docs, handles=_LIVE_HANDLES)
+
+
 def q_neardup_clusters(spark, sf):
     """Transitive near-dup clustering: MinHash+LSH pairs (the scale
     path — banded candidates + exact-Jaccard verify, itself oracled
@@ -625,6 +657,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_packing": q_shard_packing,
         "decontaminate": q_decontaminate,
         "source_rollup": q_source_rollup,
+        "vocab_topk": q_vocab_topk,
+        "tfidf_keywords": q_tfidf_keywords,
+        "token_entropy": q_token_entropy,
+        "unigram_xent": q_unigram_xent,
         "neardup_clusters": q_neardup_clusters,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_neardup": q_minhash_neardup,
@@ -857,6 +893,75 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(q), 4) AS mean_quality,
                    round((count(*) - count(DISTINCT fp)) / count(*), 6) AS dup_fraction
             FROM per GROUP BY source
+        """,
+        "vocab_topk": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+              FROM documents
+            ), tc AS (
+              SELECT doc_id, token, count(*) AS c
+              FROM toks WHERE token <> '' GROUP BY 1, 2
+            ), v AS (
+              SELECT token, CAST(sum(c) AS BIGINT) AS tf, count(*) AS df_docs
+              FROM tc GROUP BY 1
+            )
+            SELECT token, tf, df_docs,
+                   CAST(row_number() OVER (ORDER BY tf DESC, token ASC) AS INT) AS rank
+            FROM v ORDER BY tf DESC, token ASC LIMIT 100
+        """,
+        "tfidf_keywords": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+              FROM documents
+            ), tc AS (
+              SELECT doc_id, token, count(*) AS c
+              FROM toks WHERE token <> '' GROUP BY 1, 2
+            ), v AS (
+              SELECT token, count(*) AS df_docs FROM tc GROUP BY 1
+            ), nd AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT tc.doc_id, tc.token, tc.c, v.df_docs, nd.n_docs,
+                     CAST(sum(tc.c) OVER (PARTITION BY tc.doc_id) AS BIGINT) AS doc_len,
+                     CAST(row_number() OVER (
+                       PARTITION BY tc.doc_id
+                       ORDER BY tc.c DESC, v.df_docs ASC, tc.token ASC) AS INT) AS rank
+              FROM tc JOIN v USING (token) CROSS JOIN nd
+            )
+            SELECT doc_id, rank, token, c, df_docs,
+                   round((c / doc_len)
+                         * (ln((n_docs + 1) / (df_docs + 1)) + 1), 6) AS tfidf
+            FROM scored WHERE rank <= 5
+        """,
+        "token_entropy": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+              FROM documents
+            ), tc AS (
+              SELECT doc_id, token, count(*) AS c
+              FROM toks WHERE token <> '' GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   round(ln(CAST(sum(c) AS BIGINT))
+                         - sum(c * ln(c)) / CAST(sum(c) AS BIGINT), 6) AS entropy
+            FROM tc GROUP BY doc_id
+        """,
+        "unigram_xent": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+              FROM documents
+            ), tc AS (
+              SELECT doc_id, token, count(*) AS c
+              FROM toks WHERE token <> '' GROUP BY 1, 2
+            ), v AS (
+              SELECT token, CAST(sum(c) AS BIGINT) AS tf FROM tc GROUP BY 1
+            ), tot AS (SELECT CAST(sum(tf) AS BIGINT) AS tok_total FROM v)
+            SELECT tc.doc_id,
+                   CAST(sum(tc.c) AS BIGINT) AS n_tokens,
+                   round(ln(tot.tok_total)
+                         - sum(tc.c * ln(v.tf)) / CAST(sum(tc.c) AS BIGINT), 6) AS xent
+            FROM tc JOIN v USING (token) CROSS JOIN tot
+            GROUP BY tc.doc_id, tot.tok_total
         """,
         "shard_packing": """
             SELECT doc_id,

@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     "shard_packing",
     "decontaminate",
     "source_rollup",
+    "vocab_topk",
+    "tfidf_keywords",
+    "token_entropy",
+    "unigram_xent",
     "neardup_clusters",
     "stats_windows",
     "minhash_neardup",

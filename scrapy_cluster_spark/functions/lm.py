@@ -1,0 +1,206 @@
+"""Corpus-level statistical text profiling: vocabulary building,
+TF-IDF keyword extraction, within-doc token entropy, and unigram-LM
+cross-entropy — the CCNet-style "perplexity" quality signal computed
+against a language model trained on the corpus itself.
+
+The reference has no analog (scrapy-cluster stops at crawl output);
+these are the standard next steps a webtext training pipeline runs on
+the crawled corpus: build the vocabulary, surface per-document
+keywords, and score documents by how (a)typical their token
+distribution is so downstream sampling (``stratified_sample``) can
+bucket head/middle/tail the way CCNet buckets by LM perplexity.
+
+Everything here is exact and deterministic — no model weights, no
+rand(): the "LM" is the corpus unigram distribution itself, so the
+whole family is reproducible in ANSI SQL and hash-checked by the
+DuckDB oracle.  Transcendentals (ln) are rounded to 6 decimals on
+output, matching the repo-wide float-parity convention.
+
+Plan shape at 100 TB:
+- ``doc_token_counts`` is one explode + one partial-aggregated
+  groupBy (map-side combine collapses each doc's repeats before the
+  shuffle on (doc_id, token)); no UDF, whole-stage codegen throughout.
+- ``vocab`` re-aggregates those counts by token.  Hot tokens
+  (stopwords) are NOT a skew hazard: the input is already one row per
+  (doc, token), so the token-key shuffle carries at most n_docs rows
+  per token and partial aggs shrink it further.
+- TF-IDF / cross-entropy join the per-doc counts back to the vocab.
+  The vocab side is broadcast (post-``min_df``-prune a 100 TB corpus
+  vocabulary is ~10⁷ rows ≈ hundreds of MB; prune harder or set
+  ``broadcast_vocab=False`` to fall back to a shuffle join with AQE
+  skew handling if it outgrows the broadcast budget).  Broadcasting
+  removes the hot-token join skew entirely.
+- Corpus scalars (doc count, total token mass) ride a single-row
+  broadcast cross join — no driver-side ``.count()`` job, the scalar
+  fuses into the one plan.
+- ``vocab_topk``'s global order is Spark's TakeOrdered (per-partition
+  top-k, merge of k·n_partitions rows) — no global sort; the rank
+  window then runs over only the k survivors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from scrapy_cluster_spark.functions.text import tokens
+
+
+def doc_token_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, token, c): one row per distinct token per document.
+
+    Documents with zero tokens (empty/whitespace text) contribute no
+    rows — downstream scores are defined over docs with ≥1 token.
+    """
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(text_col)).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def vocab(counts: DataFrame) -> DataFrame:
+    """(token, tf, df_docs) from ``doc_token_counts`` output: corpus
+    term frequency and document frequency."""
+    return counts.groupBy("token").agg(
+        F.sum("c").cast("bigint").alias("tf"),
+        F.count("*").alias("df_docs"),
+    )
+
+
+def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
+    """Top-k corpus vocabulary by term frequency, rank ties broken by
+    token text — the deterministic head of the vocabulary a tokenizer
+    trainer would consume.
+
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject (two-phase
+    top-k), so no global sort materializes; the row_number window runs
+    on the k-row survivor set only.
+    """
+    v = vocab(doc_token_counts(df, text_col=text_col))
+    top = v.orderBy(F.desc("tf"), F.asc("token")).limit(k)
+    w = Window.orderBy(F.desc("tf"), F.asc("token"))
+    return top.select(
+        "token", "tf", "df_docs", F.row_number().over(w).alias("rank")
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    m: int = 5,
+    min_df: int = 1,
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+    handles: list | None = None,
+) -> DataFrame:
+    """Per-document top-m keywords by TF-IDF
+    (tf = c/L, idf = ln((N+1)/(df+1)) + 1, smooth).
+
+    Ranking uses only INTEGER keys — (count desc, doc-frequency asc,
+    token asc) — never the float score, so the selected rows are
+    bit-identical across engines and cluster sizes; the rounded float
+    score is carried as output.  ``min_df`` prunes hapax noise AND
+    bounds the broadcast vocabulary at scale.  Pass ``handles`` to
+    persist the token-count intermediate across its two consumers
+    (vocab build + join back); the caller owns the unpersist.
+    """
+    counts = doc_token_counts(df, text_col=text_col)
+    if handles is not None:
+        counts = counts.persist()
+        handles.append(counts)
+    v = vocab(counts).filter(F.col("df_docs") >= min_df)
+    if broadcast_vocab:
+        v = F.broadcast(v)
+    nd = df.agg(F.count("*").alias("n_docs"))
+    wdoc = Window.partitionBy("doc_id")
+    wrank = Window.partitionBy("doc_id").orderBy(
+        F.desc("c"), F.asc("df_docs"), F.asc("token")
+    )
+    return (
+        counts.join(v, "token")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("doc_len", F.sum("c").over(wdoc))
+        .withColumn("rank", F.row_number().over(wrank))
+        .filter(F.col("rank") <= m)
+        .select(
+            "doc_id",
+            "rank",
+            "token",
+            "c",
+            "df_docs",
+            F.round(
+                (F.col("c") / F.col("doc_len"))
+                * (F.log((F.col("n_docs") + 1) / (F.col("df_docs") + 1)) + 1),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Shannon entropy (nats) of each document's own token
+    distribution: H = ln(L) − (Σ c·ln c)/L.  A repetition/diversity
+    quality signal — near-0 for degenerate keyword-stuffed pages,
+    ln(L) for all-distinct text.  One explode + two aggs, no joins.
+    """
+    counts = doc_token_counts(df, text_col=text_col)
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("L"),
+            F.sum(F.col("c") * F.log("c")).alias("clnc"),
+        )
+        .select(
+            "doc_id",
+            F.col("L").alias("n_tokens"),
+            F.round(F.log("L") - F.col("clnc") / F.col("L"), 6).alias("entropy"),
+        )
+    )
+
+
+def unigram_xent(
+    df: DataFrame,
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+    handles: list | None = None,
+) -> DataFrame:
+    """Cross-entropy (nats/token) of each document under the corpus
+    unigram LM: X = ln(T) − (Σ c·ln tf)/L, where tf is the corpus
+    count of each token and T the total token mass.  exp(X) is the
+    unigram perplexity — the CCNet head/middle/tail quality signal,
+    here exact and self-trained so the oracle can verify it.  Every
+    doc token exists in the corpus vocabulary by construction, so no
+    smoothing term is needed (the +1-smoothed variant only matters
+    when scoring against a FOREIGN corpus's vocab).
+
+    Low X = stereotypical text (common tokens), high X = rare-token
+    text; both tails are what quality filtering inspects.
+    """
+    counts = doc_token_counts(df, text_col=text_col)
+    if handles is not None:
+        counts = counts.persist()
+        handles.append(counts)
+    vv = vocab(counts).select("token", "tf")
+    tot = vv.agg(F.sum("tf").cast("bigint").alias("tok_total"))
+    v = F.broadcast(vv) if broadcast_vocab else vv
+    return (
+        counts.join(v, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "tok_total")
+        .agg(
+            F.sum("c").alias("L"),
+            F.sum(F.col("c") * F.log("tf")).alias("clntf"),
+        )
+        .select(
+            "doc_id",
+            F.col("L").alias("n_tokens"),
+            F.round(
+                F.log("tok_total") - F.col("clntf") / F.col("L"), 6
+            ).alias("xent"),
+        )
+    )

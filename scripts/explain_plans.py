@@ -36,6 +36,8 @@ KEY_QUERIES = [
     "lsh_ann_topk",
     "shared_spans",
     "substring_dedup",
+    "tfidf_keywords",
+    "unigram_xent",
 ]
 
 

@@ -937,3 +937,75 @@ class TestTextFilters:
         assert got[0].passes
         assert not got[1].words_ok and not got[1].passes
         assert not got[2].repetition_ok and not got[2].passes
+
+
+class TestLmProfiling:
+    @pytest.fixture(scope="class")
+    def tiny(self, spark):
+        return spark.createDataFrame(
+            [(0, "a a b"), (1, "b c"), (2, "")], ["doc_id", "text"]
+        )
+
+    def test_vocab_and_topk(self, spark, tiny):
+        from scrapy_cluster_spark.functions import lm as L
+
+        v = {r.token: r for r in L.vocab(L.doc_token_counts(tiny)).collect()}
+        assert (v["a"].tf, v["a"].df_docs) == (2, 1)
+        assert (v["b"].tf, v["b"].df_docs) == (2, 2)
+        assert (v["c"].tf, v["c"].df_docs) == (1, 1)
+        top = L.vocab_topk(tiny, k=2).collect()
+        # tf desc, token asc: a(2) rank 1, b(2) rank 2; c cut by k
+        assert [(r.token, r.rank) for r in top] == [("a", 1), ("b", 2)]
+
+    def test_token_entropy_closed_form(self, spark, tiny):
+        import math
+
+        from scrapy_cluster_spark.functions import lm as L
+
+        got = {r.doc_id: r for r in L.token_entropy(tiny).collect()}
+        # doc 0 "a a b": H = ln(3) - (2 ln 2)/3
+        assert abs(got[0].entropy - round(math.log(3) - 2 * math.log(2) / 3, 6)) < 1e-9
+        assert got[0].n_tokens == 3
+        # doc 1 "b c" uniform over 2: H = ln(2)
+        assert abs(got[1].entropy - round(math.log(2), 6)) < 1e-9
+        # empty doc contributes no row
+        assert 2 not in got
+
+    def test_unigram_xent_closed_form(self, spark, tiny):
+        import math
+
+        from scrapy_cluster_spark.functions import lm as L
+
+        got = {r.doc_id: r for r in L.unigram_xent(tiny).collect()}
+        # corpus: a:2 b:2 c:1, T=5; doc 1 "b c":
+        # X = ln 5 - (ln 2 + ln 1)/2
+        assert abs(got[1].xent - round(math.log(5) - math.log(2) / 2, 6)) < 1e-9
+        # xent >= entropy always (cross-entropy vs own distribution)
+        ent = {r.doc_id: r.entropy for r in L.token_entropy(tiny).collect()}
+        for d, r in got.items():
+            assert r.xent >= ent[d] - 1e-6
+
+    def test_tfidf_integer_tiebreak(self, spark, tiny):
+        from scrapy_cluster_spark.functions import lm as L
+
+        rows = L.tfidf_topk(tiny, m=5).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        # doc 1 "b c": equal counts; rarer token (df asc) ranks first
+        d1 = sorted(by_doc[1], key=lambda r: r.rank)
+        assert [r.token for r in d1] == ["c", "b"]
+        # doc 0 "a a b": higher count first
+        d0 = sorted(by_doc[0], key=lambda r: r.rank)
+        assert [r.token for r in d0] == ["a", "b"]
+        # rarer c scores above common b within doc 1
+        assert d1[0].tfidf > d1[1].tfidf
+
+    def test_handles_lifecycle(self, spark, tiny):
+        from scrapy_cluster_spark.functions import lm as L
+
+        handles = []
+        L.tfidf_topk(tiny, handles=handles).collect()
+        assert len(handles) == 1 and handles[0].is_cached
+        handles[0].unpersist()
+        assert not handles[0].is_cached
