@@ -1,0 +1,183 @@
+"""Streaming corpus ingest — the training-data pipeline applied to
+documents AS THEY ARRIVE from the crawl, instead of as a nightly batch.
+
+The batch operators (functions/text.py quality family, exact
+fingerprint dedup, source rollups) assume a settled corpus table.  An
+always-on crawl (the reference's firehose consumers,
+redis-monitor/plugins/stats_monitor.py) produces documents
+continuously; this module re-expresses the ingest head of the pipeline
+as Structured Streaming so quality scoring, near-real-time dedup, and
+per-source health windows run on the live feed:
+
+- **Enrichment is stateless** — fingerprint, token count, quality
+  score, lang-ID are the same Column expressions the batch path uses
+  (one code path, streaming-vs-batch parity is tested), so they cost
+  a map over each micro-batch, no state.
+- **Dedup is watermark-bounded**: ``dropDuplicatesWithinWatermark`` on
+  the content fingerprint keeps the FIRST arrival and drops repeats
+  arriving within the watermark delay — exactly the "same page
+  crawled twice in quick succession" stream case, with state bounded
+  by the watermark instead of growing with the corpus.  The DURABLE
+  membership structure stays the frontier's bloom/cuckoo + anti-join
+  path (operators/dedupe.py); this gate only de-noises the live feed
+  before it lands, so the two compose: stream-dedup cheaply, then the
+  exact batch dedupe on landing reconciles anything beyond the
+  watermark horizon.
+- **Per-source rolling health** mirrors stats_stream: event-time
+  tumbling windows + watermark, append mode — each (window, source)
+  row emits exactly once, late docs within the watermark still count.
+
+In-sandbox the source is a JSON file feed; on a cluster the same plans
+read ``format("kafka")`` over the crawled firehose.  State lives in
+the streaming checkpoint; both queries restart from it (tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from scrapy_cluster_spark.functions import text as T
+
+DOC_EVENT_SCHEMA = StructType(
+    [
+        StructField("ts", TimestampType()),
+        StructField("doc_id", LongType()),
+        StructField("source", StringType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def enrich_documents(stream):
+    """Stateless quality columns — the SAME expressions the batch path
+    uses, so a doc scores identically whether it arrives by stream or
+    by batch (parity pinned by test)."""
+    return stream.select(
+        "ts",
+        "doc_id",
+        "source",
+        "text",
+        T.doc_fingerprint("text").alias("fp"),
+        T.token_count("text").alias("n_tokens"),
+        T.quality_score("text").alias("quality"),
+        T.lang_id("text").alias("lang_pred"),
+    )
+
+
+def stream_dedup_ingest(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    store=None,
+    on_batch=None,
+    watermark: str = "60 seconds",
+):
+    """Start the enrich + stream-dedup ingest (availableNow trigger:
+    drain pending input and stop; restart with the same checkpoint to
+    continue — dedup state carries over, so a repeat arriving in a
+    LATER run within the watermark is still dropped, tested).
+
+    Keeps the first arrival per content fingerprint; repeats within
+    the watermark are dropped before landing.  Each micro-batch of
+    survivors is appended to the store's ``corpus`` table and/or
+    handed to ``on_batch`` (rows are the batch's survivors only —
+    O(new docs), never O(corpus))."""
+    stream = spark.readStream.schema(DOC_EVENT_SCHEMA).json(docs_dir)
+    deduped = (
+        enrich_documents(stream)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+
+    def handle(batch_df, batch_id: int) -> None:
+        rows = batch_df.collect()
+        if on_batch is not None:
+            on_batch(rows)
+        if store is not None and rows:
+            store.append_rows(
+                "corpus",
+                [
+                    {
+                        "doc_id": r["doc_id"],
+                        "source": r["source"],
+                        "text": r["text"],
+                        "fp": r["fp"],
+                        "n_tokens": r["n_tokens"],
+                        "quality": float(r["quality"]),
+                        "lang_pred": r["lang_pred"],
+                        "ts": r["ts"].timestamp() if r["ts"] else None,
+                    }
+                    for r in rows
+                ],
+                CORPUS_LANDED_SCHEMA,
+                meta={"stream_batch": batch_id},
+            )
+
+    return (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+CORPUS_LANDED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("source", StringType()),
+        StructField("text", StringType()),
+        StructField("fp", StringType()),
+        StructField("n_tokens", LongType()),
+        StructField("quality", DoubleType()),
+        StructField("lang_pred", StringType()),
+        StructField("ts", DoubleType()),
+    ]
+)
+
+
+def stream_source_health(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    on_batch=None,
+    window: str = "60 seconds",
+    watermark: str = "60 seconds",
+):
+    """Per-source rolling health: (window, source) → docs, token
+    volume, mean quality.  Append mode — a row emits once, when the
+    watermark closes its window; a doc arriving late-but-within the
+    watermark still counts toward its event-time window (the
+    stats_stream late-data contract, applied to the corpus feed)."""
+    stream = spark.readStream.schema(DOC_EVENT_SCHEMA).json(docs_dir)
+    agg = (
+        enrich_documents(stream)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 6).alias("mean_quality"),
+        )
+        .withColumn("ts_epoch", F.unix_micros(F.col("win.start")) / F.lit(1e6))
+    )
+
+    def handle(batch_df, batch_id: int) -> None:
+        if on_batch is not None:
+            on_batch(batch_df.collect())
+
+    return (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -225,3 +225,138 @@ def test_gate_out_of_order_ts_cannot_mint_budget():
     # emulate it: the stale 10.0 becomes 100.0 and must be rejected
     stale = np.maximum.accumulate(np.maximum(np.array([10.0]), 100.0))
     assert _gate_batch(stale, window, hits=3, window_s=60).tolist() == [False]
+
+
+def test_corpus_stream_dedup_and_parity(spark, store):
+    """Streaming corpus ingest (SURVEY §2.11): repeats within the
+    watermark are dropped (first arrival wins) INCLUDING across a
+    checkpoint restart, and enrichment columns equal the batch path's
+    values for the same text (one code path, two execution modes)."""
+    import json
+    import os
+    import tempfile
+
+    from scrapy_cluster_spark.streaming import stream_dedup_ingest
+
+    tmp = tempfile.mkdtemp(prefix="scs-corpus-")
+    docs_dir = os.path.join(tmp, "docs")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(docs_dir)
+
+    text_a = "the quick brown fox jumps over the lazy dog again today"
+    text_b = "completely different content about spark shuffle behavior"
+
+    def feed(name, rows):
+        with open(os.path.join(docs_dir, name), "w") as f:
+            for ts, did, src, text in rows:
+                f.write(json.dumps(
+                    {"ts": ts, "doc_id": did, "source": src, "text": text}) + "\n")
+
+    feed("b1.json", [
+        ("2024-01-01T00:00:10", 1, "s1", text_a),
+        ("2024-01-01T00:00:20", 2, "s2", text_a),   # dup fp → dropped
+        ("2024-01-01T00:00:30", 3, "s1", text_b),
+    ])
+    got1: list = []
+    q = stream_dedup_ingest(spark, docs_dir, ckpt, store=store,
+                            on_batch=lambda rows: got1.extend(rows))
+    q.awaitTermination(120)
+    assert sorted(r["doc_id"] for r in got1) == [1, 3]
+
+    # batch parity: same expressions, same values
+    from scrapy_cluster_spark.functions import text as T
+
+    batch = {
+        r.doc_id: r
+        for r in spark.createDataFrame(
+            [(1, text_a), (3, text_b)], ["doc_id", "text"]
+        ).select(
+            "doc_id",
+            T.doc_fingerprint("text").alias("fp"),
+            T.token_count("text").alias("n_tokens"),
+            T.quality_score("text").alias("quality"),
+            T.lang_id("text").alias("lang_pred"),
+        ).collect()
+    }
+    for r in got1:
+        b = batch[r["doc_id"]]
+        assert (r["fp"], r["n_tokens"], r["quality"], r["lang_pred"]) == (
+            b.fp, b.n_tokens, b.quality, b.lang_pred)
+
+    # restart from checkpoint: a repeat still within the watermark is
+    # dropped (dedup state survives the restart); new content lands
+    feed("b2.json", [
+        ("2024-01-01T00:00:50", 4, "s3", text_a),   # dup across restart
+        ("2024-01-01T00:00:55", 5, "s1", "brand new third text body here"),
+    ])
+    got2: list = []
+    q2 = stream_dedup_ingest(spark, docs_dir, ckpt, store=store,
+                             on_batch=lambda rows: got2.extend(rows))
+    q2.awaitTermination(120)
+    assert sorted(r["doc_id"] for r in got2) == [5]
+
+    from scrapy_cluster_spark.streaming.corpus_stream import CORPUS_LANDED_SCHEMA
+
+    landed = store.read("corpus", CORPUS_LANDED_SCHEMA)
+    assert sorted(r.doc_id for r in landed.collect()) == [1, 3, 5]
+
+
+def test_corpus_stream_source_health(spark):
+    """Per-source rolling health windows: append mode emits a closed
+    (window, source) row once, with counts/volume/mean quality equal to
+    a hand batch-check over the in-window docs."""
+    import json
+    import os
+    import tempfile
+
+    from scrapy_cluster_spark.streaming import stream_source_health
+
+    tmp = tempfile.mkdtemp(prefix="scs-health-")
+    docs_dir = os.path.join(tmp, "docs")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(docs_dir)
+
+    t1 = "alpha beta gamma delta words in this document body"
+    t2 = "second body with other words but a similar overall shape"
+
+    def feed(name, rows):
+        with open(os.path.join(docs_dir, name), "w") as f:
+            for ts, did, src, text in rows:
+                f.write(json.dumps(
+                    {"ts": ts, "doc_id": did, "source": src, "text": text}) + "\n")
+
+    # two s1 docs + one s2 doc in [00:00, 00:01); a later event advances
+    # the watermark (60 s) past that window so it closes and emits
+    feed("b1.json", [
+        ("2024-01-01T00:00:05", 1, "s1", t1),
+        ("2024-01-01T00:00:25", 2, "s1", t2),
+        ("2024-01-01T00:00:45", 3, "s2", t1),
+        ("2024-01-01T00:02:30", 4, "s2", t2),
+    ])
+    got: list = []
+    q = stream_source_health(spark, docs_dir, ckpt,
+                             on_batch=lambda rows: got.extend(rows))
+    q.awaitTermination(120)
+    emitted = {(r["win"].start.minute, r["source"]): r for r in got}
+    assert set(emitted) == {(0, "s1"), (0, "s2")}
+
+    from scrapy_cluster_spark.functions import text as T
+    from pyspark.sql import functions as F
+
+    expect = {
+        r.source: r
+        for r in spark.createDataFrame(
+            [(1, "s1", t1), (2, "s1", t2), (3, "s2", t1)],
+            ["doc_id", "source", "text"],
+        )
+        .select("source", T.token_count("text").alias("n"),
+                T.quality_score("text").alias("q"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n").alias("total_tokens"),
+             F.round(F.avg("q"), 6).alias("mean_quality"))
+        .collect()
+    }
+    for (_, src), r in emitted.items():
+        e = expect[src]
+        assert (r["n_docs"], r["total_tokens"], r["mean_quality"]) == (
+            e.n_docs, e.total_tokens, e.mean_quality)
