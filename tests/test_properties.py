@@ -325,3 +325,85 @@ def test_shared_spans_property(spark, token_lists):
         for r in shared_token_spans(docs, k=2, min_len=3).collect()
     }
     assert got == _naive_spans(token_lists, 2, 3)
+
+
+# ---------------------------------------------------------------------------
+# corpus profiling (functions/lm.py): information-theoretic invariants +
+# a pure-Python reference implementation on random corpora
+# ---------------------------------------------------------------------------
+
+_lm_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "dd", "eee"]), min_size=1, max_size=12),
+    min_size=1, max_size=8,
+)
+
+
+def _py_lm(doc_tokens):
+    """Reference: per-doc entropy + corpus-unigram cross-entropy."""
+    import math
+    from collections import Counter
+
+    corpus = Counter()
+    for toks in doc_tokens:
+        corpus.update(toks)
+    total = sum(corpus.values())
+    out = {}
+    for i, toks in enumerate(doc_tokens):
+        c = Counter(toks)
+        n = len(toks)
+        ent = math.log(n) - sum(v * math.log(v) for v in c.values()) / n
+        xent = math.log(total) - sum(v * math.log(corpus[t]) for t, v in c.items()) / n
+        out[i] = (round(ent, 6), round(xent, 6))
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_lm_docs, st.integers(min_value=1, max_value=8))
+def test_lm_scores_match_reference_and_bounds(spark, doc_tokens, n_parts):
+    """Entropy/xent equal a pure-Python reference, respect
+    0 ≤ H ≤ ln(L) and X ≥ H (Gibbs), and are invariant to input
+    partitioning (float-sum order must not leak into rounded output)."""
+    import math
+
+    from scrapy_cluster_spark.functions import lm as L
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(doc_tokens)],
+        ["doc_id", "text"],
+    ).repartition(n_parts)
+    ent = {r.doc_id: r for r in L.token_entropy(df).collect()}
+    xent = {r.doc_id: r for r in L.unigram_xent(df).collect()}
+    ref = _py_lm(doc_tokens)
+    for i, toks in enumerate(doc_tokens):
+        re_, rx = ref[i]
+        assert abs(ent[i].entropy - re_) < 2e-6
+        assert abs(xent[i].xent - rx) < 2e-6
+        assert -1e-9 <= ent[i].entropy <= math.log(len(toks)) + 1e-9
+        assert xent[i].xent >= ent[i].entropy - 2e-6
+        assert ent[i].n_tokens == len(toks)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_lm_docs)
+def test_vocab_topk_is_exact_head(spark, doc_tokens):
+    """vocab_topk(k) equals the first k rows of the full vocabulary
+    under (tf desc, token asc) — the two-phase TakeOrdered path must
+    agree with a full sort."""
+    from scrapy_cluster_spark.functions import lm as L
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(doc_tokens)],
+        ["doc_id", "text"],
+    )
+    full = sorted(
+        ((r.token, r.tf, r.df_docs)
+         for r in L.vocab(L.doc_token_counts(df)).collect()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    for k in (1, 3):
+        got = [(r.token, r.tf, r.df_docs)
+               for r in sorted(L.vocab_topk(df, k=k).collect(),
+                               key=lambda r: r.rank)]
+        assert got == full[:k]
