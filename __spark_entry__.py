@@ -378,6 +378,15 @@ def q_unigram_xent(spark, sf):
     return L.unigram_xent(docs, handles=_LIVE_HANDLES)
 
 
+def q_perplexity_buckets(spark, sf):
+    """Head/middle/tail corpus split by unigram-LM cross-entropy —
+    CCNet's perplexity bucketing, exact: integer-rank thresholds over
+    the distinct-score histogram, no interpolation, no global row
+    sort."""
+    docs = _t(spark, sf, "documents")
+    return L.perplexity_buckets(docs, n_buckets=3, handles=_LIVE_HANDLES)
+
+
 def q_neardup_clusters(spark, sf):
     """Transitive near-dup clustering: MinHash+LSH pairs (the scale
     path — banded candidates + exact-Jaccard verify, itself oracled
@@ -661,6 +670,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "token_entropy": q_token_entropy,
         "unigram_xent": q_unigram_xent,
+        "perplexity_buckets": q_perplexity_buckets,
         "neardup_clusters": q_neardup_clusters,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_neardup": q_minhash_neardup,
@@ -962,6 +972,39 @@ def oracle_sql() -> dict[str, str]:
                          - sum(tc.c * ln(v.tf)) / CAST(sum(tc.c) AS BIGINT), 6) AS xent
             FROM tc JOIN v USING (token) CROSS JOIN tot
             GROUP BY tc.doc_id, tot.tok_total
+        """,
+        "perplexity_buckets": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+              FROM documents
+            ), tc AS (
+              SELECT doc_id, token, count(*) AS c
+              FROM toks WHERE token <> '' GROUP BY 1, 2
+            ), v AS (
+              SELECT token, CAST(sum(c) AS BIGINT) AS tf FROM tc GROUP BY 1
+            ), tot AS (SELECT CAST(sum(tf) AS BIGINT) AS tok_total FROM v),
+            x AS (
+              SELECT tc.doc_id,
+                     CAST(sum(tc.c) AS BIGINT) AS n_tokens,
+                     round(ln(tot.tok_total)
+                           - sum(tc.c * ln(v.tf)) / CAST(sum(tc.c) AS BIGINT), 6) AS xent
+              FROM tc JOIN v USING (token) CROSS JOIN tot
+              GROUP BY tc.doc_id, tot.tok_total
+            ), hist AS (
+              SELECT xent, count(*) AS nv FROM x GROUP BY xent
+            ), cum AS (
+              SELECT xent,
+                     CAST(sum(nv) OVER (ORDER BY xent
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+              FROM hist
+            ), nd AS (SELECT count(*) AS n_docs FROM x),
+            buckets AS (
+              SELECT xent,
+                     CAST(least(((cum - 1) * 3) // n_docs, 2) AS INT) AS ppl_bucket
+              FROM cum CROSS JOIN nd
+            )
+            SELECT x.doc_id, x.n_tokens, x.xent, b.ppl_bucket
+            FROM x JOIN buckets b USING (xent)
         """,
         "shard_packing": """
             SELECT doc_id,

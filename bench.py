@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "tfidf_keywords",
     "token_entropy",
     "unigram_xent",
+    "perplexity_buckets",
     "neardup_clusters",
     "stats_windows",
     "minhash_neardup",

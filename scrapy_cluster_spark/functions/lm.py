@@ -142,6 +142,50 @@ def tfidf_topk(
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    handles: list | None = None,
+) -> DataFrame:
+    """CCNet-style head/middle/tail split: each doc gets an integer
+    bucket 0..n_buckets−1 by its position in the corpus cross-entropy
+    distribution (bucket 0 = lowest xent = most stereotypical).
+
+    Bucketing is EXACT and interpolation-free, so it hash-checks: the
+    per-value cumulative doc count over the (small, post-agg) distinct
+    rounded-xent table defines ``bucket(v) = ((cum(v)−1)·B) div n``
+    with integer floor division — ties share a value, hence a bucket,
+    on every engine and cluster size.  No global row sort: the only
+    ordered window runs over DISTINCT xent values AFTER aggregation
+    (≤ 10⁶ distinct 6-dp values regardless of corpus size), and docs
+    join the value→bucket map back by broadcast.
+    """
+    x = unigram_xent(df, text_col=text_col, handles=handles)
+    if handles is not None:
+        # x feeds three consumers (histogram, total, join-back); persist
+        # the small per-doc score table so xent computes once
+        x = x.persist()
+        handles.append(x)
+    hist = x.groupBy("xent").agg(F.count("*").alias("nv"))
+    tot = x.agg(F.count("*").alias("n_docs"))
+    wcum = Window.orderBy("xent").rowsBetween(Window.unboundedPreceding, 0)
+    buckets = (
+        hist.withColumn("cum", F.sum("nv").over(wcum))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "xent",
+            F.least(
+                F.expr(f"((cum - 1) * {n_buckets}) div n_docs"),
+                F.lit(n_buckets - 1),
+            ).cast("int").alias("ppl_bucket"),
+        )
+    )
+    return x.join(F.broadcast(buckets), "xent").select(
+        "doc_id", "n_tokens", "xent", "ppl_bucket"
+    )
+
+
 def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Shannon entropy (nats) of each document's own token
     distribution: H = ln(L) − (Σ c·ln c)/L.  A repetition/diversity

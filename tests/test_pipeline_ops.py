@@ -1009,3 +1009,41 @@ class TestLmProfiling:
         assert len(handles) == 1 and handles[0].is_cached
         handles[0].unpersist()
         assert not handles[0].is_cached
+
+    def test_perplexity_buckets(self, spark):
+        from scrapy_cluster_spark.functions import lm as L
+
+        # 6 docs with 3 distinct score levels: rare-token docs score
+        # high, stereotypical docs low; ties must share a bucket
+        rows = [
+            (0, "common common common"),
+            (1, "common common common"),
+            (2, "common mid mid"),
+            (3, "common mid mid"),
+            (4, "rare1 rare2 rare3"),
+            (5, "rare4 rare5 rare6"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r.doc_id: r for r in L.perplexity_buckets(df, n_buckets=3).collect()}
+        # identical texts → identical xent → identical bucket
+        assert got[0].ppl_bucket == got[1].ppl_bucket
+        assert got[2].ppl_bucket == got[3].ppl_bucket
+        assert got[4].ppl_bucket == got[5].ppl_bucket
+        # ordering: stereotypical < mixed < rare-token docs
+        assert got[0].xent < got[2].xent < got[4].xent
+        assert got[0].ppl_bucket == 0
+        assert got[2].ppl_bucket == 1
+        assert got[4].ppl_bucket == 2
+        # buckets partition the corpus: each third has 2 docs
+        from collections import Counter
+
+        assert Counter(r.ppl_bucket for r in got.values()) == {0: 2, 1: 2, 2: 2}
+
+    def test_perplexity_buckets_handles(self, spark, tiny):
+        from scrapy_cluster_spark.functions import lm as L
+
+        handles = []
+        L.perplexity_buckets(tiny, handles=handles).collect()
+        assert len(handles) == 2  # token counts + score table
+        for h in handles:
+            h.unpersist()
