@@ -222,6 +222,18 @@ def q_tumbling_window(spark, sf):
     ).agg(F.count("*").alias("n"))
 
 
+def q_user_sessions(spark, sf):
+    """Gap-based sessionization of the event feed (30-min gap) via
+    F.session_window — one shuffle on the key, no global sort; the
+    oracle reproduces the boundary rule (gap >= 30 min breaks) with
+    gaps-and-islands SQL."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from scrapy_cluster_spark.operators.stats import sessionize
+
+    events = _t(spark, sf, "events")
+    return sessionize(events, gap_s=1800)
+
+
 def q_schedule_round_analog(spark, sf):
     """Flagship: one scheduling round's core plan on testdata — expiry
     filter → seen anti-join → per-domain quota top-k (SURVEY.md §3.1)."""
@@ -652,6 +664,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_unique": q_hll_unique,
         "tumbling_window": q_tumbling_window,
         "stats_windows": q_stats_windows,
+        "user_sessions": q_user_sessions,
         "schedule_round_analog": q_schedule_round_analog,
         "doc_token_count": q_doc_token_count,
         "doc_quality": q_doc_quality,
@@ -903,6 +916,28 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(q), 4) AS mean_quality,
                    round((count(*) - count(DISTINCT fp)) / count(*), 6) AS dup_fraction
             FROM per GROUP BY source
+        """,
+        "user_sessions": """
+            WITH e AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                  > 1800 * 1000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ts, value,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM e
+            )
+            SELECT user_id,
+                   epoch_us(min(ts)) AS session_start_us,
+                   epoch_us(max(ts)) AS session_last_us,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS total_value
+            FROM s GROUP BY user_id, sid
         """,
         "vocab_topk": r"""
             WITH toks AS (

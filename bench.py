@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "perplexity_buckets",
     "neardup_clusters",
     "stats_windows",
+    "user_sessions",
     "minhash_neardup",
     "shared_spans",
     "substring_dedup",

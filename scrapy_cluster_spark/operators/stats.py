@@ -441,3 +441,50 @@ def spider_stats_df(crawled: DataFrame) -> DataFrame:
         .groupBy("spiderid", "status_code")
         .agg(F.count("*").alias("total"))
     )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_s: int = 1800,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-based sessionization: consecutive events of one key belong
+    to one session while each gap is at most ``gap_s``; a gap
+    STRICTLY greater than ``gap_s`` starts a new session — Spark's
+    session-window boundary is inclusive (an event at exactly
+    last + gap merges), pinned by test and mirrored exactly by the
+    gaps-and-islands oracle.
+
+    The reference keeps no session concept (its Redis stats are window
+    counters); this is the visit-session rollup a crawl-analytics
+    pipeline derives from the event feed.  Expressed as
+    ``F.session_window`` so Catalyst plans ONE shuffle on the session
+    key — the same merge-on-overlap operator Structured Streaming uses,
+    so the batch rollup and a future streaming variant share semantics.
+
+    Output is engine-neutral: integer epoch-micros bounds + bigint
+    count + rounded value sum (struct-typed window bounds stay
+    internal).  Plan at 100 TB: hash-shuffle on the key, per-key
+    in-partition session merge — no global sort, skewed keys ride
+    AQE skew-join handling like any grouped agg.
+    """
+    return (
+        events.groupBy(
+            key_col, F.session_window(ts_col, f"{gap_s} seconds").alias("sw")
+        )
+        .agg(
+            F.unix_micros(F.min(ts_col).cast("timestamp_ltz")).alias(
+                "session_start_us"
+            ),
+            F.unix_micros(F.max(ts_col).cast("timestamp_ltz")).alias(
+                "session_last_us"
+            ),
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("total_value"),
+        )
+        .select(
+            key_col, "session_start_us", "session_last_us", "n_events", "total_value"
+        )
+    )

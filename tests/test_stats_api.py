@@ -163,3 +163,39 @@ def test_index_status(spark, store):
     s2 = index_status(_Broken(), my_id="node-2", start_time=0.0, now=1.0)
     assert s2["node_health"] == "RED"
     assert not s2["store_connected"] and not s2["feed_connected"]
+
+
+def test_sessionize_gap_boundaries(spark):
+    """Spark's session-window boundary is INCLUSIVE: an event at exactly
+    last + gap_s merges into the session; one microsecond over starts
+    a new one.  The oracle's gaps-and-islands break is therefore
+    strictly-greater-than."""
+    import datetime as dt
+
+    from scrapy_cluster_spark.operators.stats import sessionize
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(sec, us=0):
+        return t0 + dt.timedelta(seconds=sec, microseconds=us)
+
+    rows = [
+        # user 1: events 10 s apart → one session of 3
+        (1, at(0), 1.0), (1, at(10), 2.0), (1, at(20), 3.5),
+        # user 1: 1 µs OVER the gap after the last → NEW session
+        (1, at(80, 1), 1.25),
+        # user 2: exactly the gap → INCLUSIVE boundary, SAME session
+        (2, at(0), 1.0), (2, at(60), 2.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    got = sessionize(df, gap_s=60).collect()
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r.user_id, []).append(r)
+    u1 = sorted(by_user[1], key=lambda r: r.session_start_us)
+    assert [(r.n_events, r.total_value) for r in u1] == [(3, 6.5), (1, 1.25)]
+    assert u1[0].session_last_us - u1[0].session_start_us == 20_000_000
+    u2 = by_user[2]
+    assert len(u2) == 1 and u2[0].n_events == 2
+    assert u2[0].session_last_us - u2[0].session_start_us == 60_000_000
