@@ -6,6 +6,7 @@ from scrapy_cluster_spark.streaming.requests_stream import (  # noqa: F401
 from scrapy_cluster_spark.streaming.corpus_stream import (  # noqa: F401
     stream_dedup_ingest,
     stream_source_health,
+    stream_user_sessions,
 )
 from scrapy_cluster_spark.streaming.stats_stream import (  # noqa: F401
     stream_windowed_status_counts,

@@ -181,3 +181,52 @@ def stream_source_health(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_user_sessions(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    on_batch=None,
+    gap_s: int = 1800,
+    watermark: str = "60 seconds",
+):
+    """Streaming twin of ``operators.stats.sessionize``: the SAME
+    ``F.session_window`` expression over the live event feed, with a
+    watermark so a session row emits exactly once — after the
+    watermark passes the session's close (last event + gap), when no
+    in-gap event can extend it anymore.  Batch and stream share one
+    operator and therefore one boundary rule (inclusive at exactly
+    last+gap, pinned by the batch test)."""
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(events_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", f"{gap_s} seconds").alias("sw"))
+        .agg(
+            F.unix_micros(F.min("ts").cast("timestamp_ltz")).alias("session_start_us"),
+            F.unix_micros(F.max("ts").cast("timestamp_ltz")).alias("session_last_us"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select("user_id", "session_start_us", "session_last_us",
+                "n_events", "total_value")
+    )
+
+    def handle(batch_df, batch_id: int) -> None:
+        if on_batch is not None:
+            on_batch(batch_df.collect())
+
+    return (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -360,3 +360,66 @@ def test_corpus_stream_source_health(spark):
         e = expect[src]
         assert (r["n_docs"], r["total_tokens"], r["mean_quality"]) == (
             e.n_docs, e.total_tokens, e.mean_quality)
+
+
+def test_stream_user_sessions_matches_batch(spark):
+    """Streaming sessionization emits exactly the sessions the batch
+    operator computes, once each, after the watermark closes them —
+    same F.session_window, one semantics (SURVEY §2.11)."""
+    import datetime as dt
+    import json
+    import os
+    import tempfile
+
+    from scrapy_cluster_spark.operators.stats import sessionize
+    from scrapy_cluster_spark.streaming import stream_user_sessions
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tmp = tempfile.mkdtemp(prefix="scs-sess-")
+    ev_dir = os.path.join(tmp, "events")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(ev_dir)
+
+    # user 1: two sessions (10 s apart, then a >60 s gap); user 2: one
+    events = [
+        ("2024-01-01T00:00:00", 1, 1.0),
+        ("2024-01-01T00:00:10", 1, 2.0),
+        ("2024-01-01T00:02:00", 1, 4.0),
+        ("2024-01-01T00:00:05", 2, 8.0),
+    ]
+    with open(os.path.join(ev_dir, "b1.json"), "w") as f:
+        for ts, uid, v in events:
+            f.write(json.dumps({"ts": ts, "user_id": uid, "value": v}) + "\n")
+    # a far-future event pushes the watermark past every session close
+    with open(os.path.join(ev_dir, "b2.json"), "w") as f:
+        f.write(json.dumps({"ts": "2024-01-01T01:00:00", "user_id": 9,
+                            "value": 0.0}) + "\n")
+
+    got: list = []
+    q = stream_user_sessions(spark, ev_dir, ckpt, gap_s=60,
+                             on_batch=lambda rows: got.extend(rows))
+    q.awaitTermination(120)
+    # drain again: availableNow may close the last watermark on restart
+    q2 = stream_user_sessions(spark, ev_dir, ckpt, gap_s=60,
+                              on_batch=lambda rows: got.extend(rows))
+    q2.awaitTermination(120)
+
+    batch_df = spark.createDataFrame(
+        [(dt.datetime.fromisoformat(ts), uid, v) for ts, uid, v in events],
+        ["ts", "user_id", "value"],
+    )
+    expect = {
+        (r.user_id, r.session_start_us): r
+        for r in sessionize(batch_df, gap_s=60).collect()
+    }
+    emitted = {(r["user_id"], r["session_start_us"]): r for r in got
+               if r["user_id"] != 9}
+    assert set(emitted) == set(expect)
+    # each session emitted exactly once across both drains
+    keys = [(r["user_id"], r["session_start_us"]) for r in got
+            if r["user_id"] != 9]
+    assert len(keys) == len(set(keys))
+    for k, r in emitted.items():
+        e = expect[k]
+        assert (r["session_last_us"], r["n_events"], r["total_value"]) == (
+            e.session_last_us, e.n_events, e.total_value)
