@@ -399,6 +399,32 @@ def q_perplexity_buckets(spark, sf):
     return L.perplexity_buckets(docs, n_buckets=3, handles=_LIVE_HANDLES)
 
 
+def q_bpe_merges(spark, sf):
+    """Distributed BPE training (Sennrich et al. 2016): 20 merges
+    learned from the corpus word-frequency table.  Iterative (argmax →
+    merge per round), so no SQL oracle — the merge-sequence contract
+    is pinned by tests against a from-scratch Python BPE
+    (tests/test_pipeline_ops.py::TestBPE)."""
+    from scrapy_cluster_spark.functions import bpe as B
+
+    docs = _t(spark, sf, "documents")
+    return B.merges_df(spark, B.train_bpe(docs, n_merges=20))
+
+
+def q_bpe_pair_counts(spark, sf):
+    """The deterministic round-0 half of BPE training, hash-oracled:
+    adjacent symbol-pair counts over the initial character+marker
+    symbol table, weighted by word frequency."""
+    from scrapy_cluster_spark.functions import bpe as B
+
+    docs = _t(spark, sf, "documents")
+    return (
+        B._pair_counts(B._initial_symbols(B.word_table(docs)))
+        .withColumnRenamed("left", "l_sym")
+        .withColumnRenamed("right", "r_sym")
+    )
+
+
 def q_neardup_clusters(spark, sf):
     """Transitive near-dup clustering: MinHash+LSH pairs (the scale
     path — banded candidates + exact-Jaccard verify, itself oracled
@@ -684,6 +710,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q_token_entropy,
         "unigram_xent": q_unigram_xent,
         "perplexity_buckets": q_perplexity_buckets,
+        "bpe_merges": q_bpe_merges,
+        "bpe_pair_counts": q_bpe_pair_counts,
         "neardup_clusters": q_neardup_clusters,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_neardup": q_minhash_neardup,
@@ -916,6 +944,25 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(q), 4) AS mean_quality,
                    round((count(*) - count(DISTINCT fp)) / count(*), 6) AS dup_fraction
             FROM per GROUP BY source
+        """,
+        "bpe_pair_counts": r"""
+            WITH words AS (
+              SELECT word, CAST(count(*) AS BIGINT) AS wcount FROM (
+                SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+                FROM documents
+              ) WHERE word <> '' GROUP BY 1
+            ), syms AS (
+              SELECT wcount, list_append(string_split(word, ''), '</w>') AS s
+              FROM words
+            ), pairs AS (
+              -- parallel unnests zip element-wise in DuckDB
+              SELECT unnest(s[1:len(s)-1]) AS l_sym,
+                     unnest(s[2:len(s)]) AS r_sym,
+                     wcount
+              FROM syms
+            )
+            SELECT l_sym, r_sym, CAST(sum(wcount) AS BIGINT) AS pair_count
+            FROM pairs GROUP BY 1, 2
         """,
         "user_sessions": """
             WITH e AS (

@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "token_entropy",
     "unigram_xent",
     "perplexity_buckets",
+    "bpe_pair_counts",
+    "bpe_merges",
     "neardup_clusters",
     "stats_windows",
     "user_sessions",

@@ -1,0 +1,202 @@
+"""Distributed BPE tokenizer training (Sennrich et al., ACL 2016) and
+encoding — the "train the tokenizer on the corpus" step that follows
+vocabulary profiling in a webtext training pipeline.
+
+The reference has no analog (crawl infrastructure); this is the
+canonical scalable formulation:
+
+- **Pass 1 collapses the corpus to a word-frequency table** — the only
+  job that touches corpus-scale data (a word count).  BPE statistics
+  are identical on (word, count) rows, so every merge round after that
+  operates on the word table (~10⁷ rows for a 100 TB corpus), not the
+  corpus.
+- **Each merge round is one narrow aggregation + one map**: explode
+  adjacent symbol pairs weighted by word count, partial-agg the pair
+  counts, TakeOrdered-1 for the argmax, then apply the merge per word
+  with a vectorized pandas UDF (words are short; the per-word scan is
+  bounded by word length, and batches move via Arrow).
+- **Determinism**: argmax ties break on (count desc, left asc, right
+  asc) — the same rule as the pure-Python reference the tests compare
+  against, so the merge SEQUENCE is reproducible across engines,
+  partitionings, and cluster sizes.
+- **Lineage control**: the symbol table re-persists each round and
+  ``localCheckpoint`` truncates the plan every ``checkpoint_every``
+  rounds — without it the 50-round nested plan makes driver-side
+  analysis the bottleneck (the same concern the CC loop solves with
+  reliable SnapshotStore checkpoints; swap in a store-backed
+  checkpoint for resumable production training).
+
+Training is iterative and therefore not SQL-expressible — the driver
+correctness gate records the rows-only check; the exact contract is
+pinned instead by tests against a from-scratch Python BPE on random
+corpora (merge-sequence equality).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+END_OF_WORD = "</w>"
+
+
+def word_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, wcount): the corpus collapsed to word frequencies — the
+    single corpus-scale pass; whitespace tokenization matches the
+    vocabulary profiler (functions/lm.py)."""
+    from scrapy_cluster_spark.functions.text import tokens
+
+    return (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("wcount"))
+    )
+
+
+def _initial_symbols(words: DataFrame) -> DataFrame:
+    """Split each word into characters + the end-of-word marker."""
+    return words.withColumn(
+        "syms",
+        F.concat(F.split("word", ""), F.array(F.lit(END_OF_WORD))),
+    )
+
+
+def _pair_counts(syms: DataFrame) -> DataFrame:
+    """Adjacent-pair counts weighted by word frequency: explode the
+    (len-1) positions per word, two-level partial agg on the pair."""
+    # single-symbol words (fully merged) contribute no pairs — and
+    # Spark's sequence(0, -1) DESCENDS instead of being empty (the
+    # word_shingles guard in functions/text.py), so filter them first
+    pairs = syms.filter(F.size("syms") >= 2).select(
+        "wcount",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("syms") - 2),
+                lambda i: F.struct(
+                    F.element_at("syms", i + 1).alias("left"),
+                    F.element_at("syms", i + 2).alias("right"),
+                ),
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy("p.left", "p.right").agg(
+        F.sum("wcount").alias("pair_count")
+    )
+
+
+def merge_pair_in_word(syms: list, left: str, right: str) -> list:
+    """Greedy left-to-right non-overlapping merge of one pair — the
+    reference BPE rule (shared by trainer, encoder, and the test's
+    pure-Python model)."""
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _merge_udf(left: str, right: str):
+    """Factory so the UDF closes over the pair BY VALUE — a loop-local
+    closure would rebind to the latest round's pair if a lost cached
+    partition ever recomputes an earlier round's lineage."""
+
+    @pandas_udf(ArrayType(StringType()))
+    def apply_merge(col: pd.Series) -> pd.Series:
+        return col.apply(lambda s: merge_pair_in_word(list(s), left, right))
+
+    return apply_merge
+
+
+def train_bpe(
+    df: DataFrame,
+    n_merges: int = 50,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    checkpoint_every: int = 10,
+) -> list[dict]:
+    """Learn ``n_merges`` BPE merges from the corpus; returns the merge
+    sequence [{rank, left, right, pair_count}, ...] in learned order.
+    Stops early when the best remaining pair falls under
+    ``min_pair_count`` (merging hapax pairs memorizes noise)."""
+    syms = _initial_symbols(word_table(df, text_col)).persist()
+    syms.count()
+    merges: list[dict] = []
+    try:
+        for rank in range(n_merges):
+            best = (
+                _pair_counts(syms)
+                .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+                .limit(1)
+                .collect()
+            )
+            if not best or best[0]["pair_count"] < min_pair_count:
+                break
+            left, right, cnt = best[0]["left"], best[0]["right"], int(best[0]["pair_count"])
+            merges.append(
+                {"rank": rank, "left": left, "right": right, "pair_count": cnt}
+            )
+
+            nxt = syms.withColumn("syms", _merge_udf(left, right)("syms"))
+            if (rank + 1) % checkpoint_every == 0:
+                nxt = nxt.localCheckpoint(eager=False)
+            nxt = nxt.persist()
+            nxt.count()
+            syms.unpersist()
+            syms = nxt
+    finally:
+        syms.unpersist()
+    return merges
+
+
+def merges_df(spark, merges: list[dict]) -> DataFrame:
+    """The learned merge table as a DataFrame (rank, left, right,
+    pair_count) — broadcast-sized, joins into encoding pipelines."""
+    return spark.createDataFrame(
+        [(m["rank"], m["left"], m["right"], m["pair_count"]) for m in merges],
+        "rank int, left string, right string, pair_count bigint",
+    )
+
+
+def bpe_encode(
+    df: DataFrame, merges: list[dict], text_col: str = "text"
+) -> DataFrame:
+    """Encode documents with a learned merge table: per word, apply
+    merges in RANK order (the BPE encode rule); output the subword
+    sequence and its length.  The merge list is closure-captured into
+    the Arrow UDF — broadcast-sized by construction (≤ n_merges
+    rows)."""
+    ranked = [(m["left"], m["right"]) for m in sorted(merges, key=lambda m: m["rank"])]
+
+    def encode_word(word: str) -> list:
+        syms = list(word) + [END_OF_WORD]
+        for left, right in ranked:
+            if len(syms) < 2:
+                break
+            syms = merge_pair_in_word(syms, left, right)
+        return syms
+
+    @pandas_udf(ArrayType(StringType()))
+    def encode(col: pd.Series) -> pd.Series:
+        cache: dict = {}
+
+        def enc_text(text: str) -> list:
+            out = []
+            for w in (text or "").split():
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = encode_word(w)
+                out.extend(got)
+            return out
+
+        return col.apply(enc_text)
+
+    return df.withColumn("subwords", encode(text_col)).withColumn(
+        "n_subwords", F.size("subwords")
+    )

@@ -1047,3 +1047,83 @@ class TestLmProfiling:
         assert len(handles) == 2  # token counts + score table
         for h in handles:
             h.unpersist()
+
+
+class TestBPE:
+    @staticmethod
+    def _py_bpe(texts, n_merges, min_pair_count=2):
+        """From-scratch reference BPE (Sennrich et al. 2016): word-freq
+        table, adjacent-pair argmax with (count desc, left asc, right
+        asc) ties, greedy non-overlapping merge."""
+        from collections import Counter
+
+        words = Counter(w for t in texts for w in t.split())
+        syms = {w: list(w) + ["</w>"] for w in words}
+        merges = []
+        for rank in range(n_merges):
+            pairs = Counter()
+            for w, s in syms.items():
+                for i in range(len(s) - 1):
+                    pairs[(s[i], s[i + 1])] += words[w]
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            (l, r), cnt = best
+            if cnt < min_pair_count:
+                break
+            merges.append({"rank": rank, "left": l, "right": r, "pair_count": cnt})
+            for w, s in syms.items():
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        out.append(l + r); i += 2
+                    else:
+                        out.append(s[i]); i += 1
+                syms[w] = out
+        return merges
+
+    def test_merge_sequence_matches_reference(self, spark):
+        from scrapy_cluster_spark.functions import bpe as B
+
+        texts = [
+            "low lower lowest low low",
+            "new newer newest new news",
+            "wide wider widest new low",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        got = B.train_bpe(df, n_merges=12, checkpoint_every=4)
+        ref = self._py_bpe(texts, 12)
+        assert got == ref
+        assert len(got) >= 8  # the corpus supports a real merge sequence
+
+    def test_merge_sequence_partitioning_invariant(self, spark):
+        from scrapy_cluster_spark.functions import bpe as B
+
+        texts = ["aa ab aa ab ba", "ab aa bb ba ba", "aa bb ab aa"]
+        base = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        m1 = B.train_bpe(base.repartition(1), n_merges=6)
+        m8 = B.train_bpe(base.repartition(8), n_merges=6)
+        assert m1 == m8 == self._py_bpe(texts, 6)
+
+    def test_encode_uses_learned_merges(self, spark):
+        from scrapy_cluster_spark.functions import bpe as B
+
+        texts = ["low low low lower", "low lowest"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        merges = B.train_bpe(df, n_merges=8)
+        enc = {r.doc_id: r for r in B.bpe_encode(df, merges).collect()}
+        # 'low' is frequent → fully merged into one token (+ marker fold)
+        assert "low</w>" in enc[0].subwords
+        # subword count: merges only ever shorten the char sequence
+        for i, t in enumerate(texts):
+            n_chars = sum(len(w) + 1 for w in t.split())
+            assert 0 < enc[i].n_subwords <= n_chars
+        # encoding with NO merges = raw characters + markers
+        raw = {r.doc_id: r for r in B.bpe_encode(df, []).collect()}
+        assert raw[1].n_subwords == sum(len(w) + 1 for w in texts[1].split())
