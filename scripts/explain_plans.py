@@ -38,6 +38,9 @@ KEY_QUERIES = [
     "substring_dedup",
     "tfidf_keywords",
     "unigram_xent",
+    "perplexity_buckets",
+    "user_sessions",
+    "bpe_pair_counts",
 ]
 
 
