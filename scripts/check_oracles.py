@@ -49,7 +49,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: str = "") -> int:
 
     qs = entrymod.queries()
     if only:
-        wanted = set(only.split(","))
+        # tolerate the "only=a,b" spelling — the prefix otherwise
+        # silently matches nothing
+        wanted = set(only.removeprefix("only=").split(","))
         qs = {n: f for n, f in qs.items() if n in wanted}
     oracles = entrymod.oracle_sql()
     failures = 0
