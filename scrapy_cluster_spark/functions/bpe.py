@@ -126,16 +126,22 @@ def train_bpe(
     Stops early when the best remaining pair falls under
     ``min_pair_count`` (merging hapax pairs memorizes noise)."""
     syms = _initial_symbols(word_table(df, text_col)).persist()
-    syms.count()
+    prev = None
     merges: list[dict] = []
     try:
         for rank in range(n_merges):
+            # ONE job per round: this argmax materializes syms' cache,
+            # so the previous round's table (syms' cached parent) only
+            # becomes droppable now — no separate count() job
             best = (
                 _pair_counts(syms)
                 .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
                 .limit(1)
                 .collect()
             )
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not best or best[0]["pair_count"] < min_pair_count:
                 break
             left, right, cnt = best[0]["left"], best[0]["right"], int(best[0]["pair_count"])
@@ -146,12 +152,11 @@ def train_bpe(
             nxt = syms.withColumn("syms", _merge_udf(left, right)("syms"))
             if (rank + 1) % checkpoint_every == 0:
                 nxt = nxt.localCheckpoint(eager=False)
-            nxt = nxt.persist()
-            nxt.count()
-            syms.unpersist()
-            syms = nxt
+            prev, syms = syms, nxt.persist()
     finally:
         syms.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return merges
 
 
