@@ -399,6 +399,14 @@ def q_perplexity_buckets(spark, sf):
     return L.perplexity_buckets(docs, n_buckets=3, handles=_LIVE_HANDLES)
 
 
+def q_bigram_xent(spark, sf):
+    """Cross-entropy under the corpus's own add-k-smoothed bigram LM —
+    one step closer to CCNet's 5-gram KenLM than unigram_xent, still
+    exact and hash-oracled."""
+    docs = _t(spark, sf, "documents")
+    return L.bigram_xent(docs, k_smooth=0.5, handles=_LIVE_HANDLES)
+
+
 def q_bpe_merges(spark, sf):
     """Distributed BPE training (Sennrich et al. 2016): 20 merges
     learned from the corpus word-frequency table.  Iterative (argmax →
@@ -423,6 +431,44 @@ def q_bpe_pair_counts(spark, sf):
         .withColumnRenamed("left", "l_sym")
         .withColumnRenamed("right", "r_sym")
     )
+
+
+def q_pagerank_docs(spark, sf):
+    """PageRank over a deterministic 3-out link graph derived from the
+    document ids by pure integer arithmetic (LCG: identical in Spark
+    and the oracle, no hex/hash conversion needed) — the OPIC-style
+    centrality signal a crawl scheduler folds into frontier priority.
+    10 power iterations, unrolled identically in the SQL oracle."""
+    docs = _t(spark, sf, "documents").select("doc_id")
+    nd = docs.agg(F.count("*").alias("n_docs"))
+    edges = (
+        docs.crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "n_docs",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+        )
+        .select(
+            F.col("doc_id").alias("src"),
+            (
+                (
+                    F.col("doc_id") * F.lit(1103515245)
+                    + F.col("j") * F.lit(12345)
+                    + F.lit(7)
+                )
+                % F.col("n_docs")
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    pr = G.pagerank(
+        docs.withColumnRenamed("doc_id", "node"),
+        edges,
+        n_iter=10,
+        handles=_LIVE_HANDLES,
+    )
+    return pr.select(F.col("node").alias("doc_id"), "pagerank")
 
 
 def q_neardup_clusters(spark, sf):
@@ -710,8 +756,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q_token_entropy,
         "unigram_xent": q_unigram_xent,
         "perplexity_buckets": q_perplexity_buckets,
+        "bigram_xent": q_bigram_xent,
         "bpe_merges": q_bpe_merges,
         "bpe_pair_counts": q_bpe_pair_counts,
+        "pagerank_docs": q_pagerank_docs,
         "neardup_clusters": q_neardup_clusters,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_neardup": q_minhash_neardup,
@@ -791,6 +839,49 @@ _LANG_HITS = {
     )
     for lang, words in T.LANG_STOPWORDS.items()
 }
+
+
+def _pagerank_oracle(n_iter: int = 10, d: float = 0.85) -> str:
+    """Unrolled power iteration — recursive CTEs can't aggregate in the
+    recursive term, so the fixed k rounds chain as k CTEs, each the
+    same formula the Spark loop computes.  Every CTE is MATERIALIZED:
+    each r{i} references r{i-1} three times, so the default inlining
+    expands the chain 3^k-fold and planning never terminates."""
+    s = """
+      WITH nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+      nd AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM nodes),
+      edges AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM (
+          SELECT doc_id AS src,
+                 (doc_id * 1103515245 + j * 12345 + 7)
+                   % (SELECT count(*) FROM documents) AS dst
+          FROM documents, (SELECT unnest([1, 2, 3]) AS j)
+        ) WHERE src <> dst
+      ),
+      outd AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+               FROM edges GROUP BY 1),
+      r0 AS MATERIALIZED (SELECT node, 1.0 / n_nodes AS r FROM nodes CROSS JOIN nd)"""
+    for i in range(1, n_iter + 1):
+        s += f""",
+      d{i - 1} AS MATERIALIZED (
+        SELECT COALESCE(SUM(r), 0) AS dang FROM r{i - 1}
+        WHERE node NOT IN (SELECT src FROM outd)
+      ),
+      r{i} AS MATERIALIZED (
+        SELECT n.node,
+               (1 - {d}) / nd.n_nodes
+               + {d} * (COALESCE(c.inflow, 0) + d{i - 1}.dang / nd.n_nodes) AS r
+        FROM nodes n CROSS JOIN nd CROSS JOIN d{i - 1}
+        LEFT JOIN (
+          SELECT e.dst AS node, SUM(p.r / o.deg) AS inflow
+          FROM edges e
+          JOIN r{i - 1} p ON p.node = e.src
+          JOIN outd o ON o.src = e.src
+          GROUP BY e.dst
+        ) c ON c.node = n.node
+      )"""
+    return s + f"""
+      SELECT node AS doc_id, round(r, 6) AS pagerank FROM r{n_iter}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -944,6 +1035,39 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(q), 4) AS mean_quality,
                    round((count(*) - count(DISTINCT fp)) / count(*), 6) AS dup_fraction
             FROM per GROUP BY source
+        """,
+        "pagerank_docs": _pagerank_oracle(),
+        "bigram_xent": r"""
+            WITH words AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+              FROM documents
+            ), prs AS (
+              SELECT doc_id,
+                     unnest(w[1:len(w)-1]) AS w1,
+                     unnest(w[2:len(w)]) AS w2
+              FROM words
+            ), dbg AS (
+              SELECT doc_id, w1, w2, count(*) AS c2 FROM prs
+              WHERE w1 <> '' AND w2 <> '' GROUP BY 1, 2, 3
+            ), bc2 AS (
+              SELECT w1, w2, CAST(sum(c2) AS BIGINT) AS cc2
+              FROM dbg GROUP BY 1, 2
+            ), toks AS (
+              SELECT doc_id, unnest(w) AS token FROM words
+            ), tc AS (
+              SELECT doc_id, token, count(*) AS c FROM toks
+              WHERE token <> '' GROUP BY 1, 2
+            ), c1 AS (
+              SELECT token AS w1, CAST(sum(c) AS BIGINT) AS tf
+              FROM tc GROUP BY 1
+            ), vs AS (SELECT CAST(count(*) AS BIGINT) AS V FROM c1)
+            SELECT dbg.doc_id,
+                   CAST(sum(dbg.c2) AS BIGINT) AS n_bigrams,
+                   round(-sum(dbg.c2 * ln((bc2.cc2 + 0.5)
+                                          / (c1.tf + 0.5 * vs.V)))
+                         / CAST(sum(dbg.c2) AS BIGINT), 6) AS bigram_xent
+            FROM dbg JOIN bc2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vs
+            GROUP BY dbg.doc_id
         """,
         "bpe_pair_counts": r"""
             WITH words AS (

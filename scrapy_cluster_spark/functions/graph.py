@@ -324,3 +324,122 @@ def neardup_clusters(
         F.col("component").alias("cluster_id"),
         (F.col("id") == F.col("component")).alias("is_canonical"),
     )
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    id_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 5,
+    store: SnapshotStore | None = None,
+    handles: list | None = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank (Page et al. 1999) over an explicit
+    node set — the link-centrality signal a crawl scheduler can fold
+    into frontier priority (OPIC-style) and a corpus pipeline uses to
+    weight sources.
+
+    r_{t+1}(v) = (1−d)/N + d·(Σ_{(u,v)∈E} r_t(u)/outdeg(u) + D_t/N)
+
+    where D_t is the dangling mass (rank held by nodes with no
+    out-edges) — redistributed uniformly, so Σr stays 1 every
+    iteration (asserted by test against a pure-Python reference).
+
+    Plan per iteration: ONE equi-join of the rank vector with the
+    out-degree-annotated edge list (shuffle on src), ONE groupBy dst
+    (shuffle on dst), plus a single-row broadcast for the dangling
+    mass.  The edge list with out-degrees is computed once and
+    persisted; each round's rank vector is persisted and the previous
+    round dropped, so no generation is ever recomputed.
+
+    ``store``: optional SnapshotStore — every ``checkpoint_every``
+    rounds the rank vector is committed as a ``pr_ranks`` snapshot and
+    re-read (the CC loop's RELIABLE checkpoint pattern: parquet on
+    shared storage survives executor loss; ``localCheckpoint`` is
+    deliberately NOT used — its executor-resident blocks die with the
+    executor AND can't be freed through ``DataFrame.unpersist``, so
+    they'd leak past the repo's release_caches lifecycle).  With a
+    store the final result is pinned as its own versioned ``pr_result``
+    snapshot; without one it is persisted + materialized and rides
+    ``handles``.  Fixed iteration count (not an epsilon test) keeps
+    the result deterministic and lets the SQL oracle unroll the same
+    k rounds.
+    """
+    n = nodes.select(F.col(id_col).alias("node"))
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ew = e.join(outdeg, "src").persist()
+    nd = n.agg(F.count("*").cast("double").alias("n_nodes"))
+    ranks = n.crossJoin(F.broadcast(nd)).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("r")
+    ).persist()
+    prev = None
+    try:
+        for it in range(n_iter):
+            # dangling mass (rank at nodes with no out-edges): the ONE
+            # action per iteration — it materializes this generation's
+            # rank cache (referenced twice below), so the previous
+            # generation is droppable right after, and no generation is
+            # ever recomputed (a lazy dangling column would re-derive
+            # each generation per consumer — exponential over k rounds)
+            dangling = (
+                ranks.join(
+                    outdeg.withColumnRenamed("src", "node"), "node", "left_anti"
+                )
+                .agg(F.coalesce(F.sum("r"), F.lit(0.0)))
+                .collect()[0][0]
+            )
+            if prev is not None:
+                prev.unpersist()
+                prev = None
+            contrib = (
+                ranks.withColumnRenamed("node", "src")
+                .join(ew, "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.col("r") / F.col("deg")).alias("inflow"))
+            )
+            nxt = (
+                n.join(contrib, "node", "left")
+                .crossJoin(F.broadcast(nd))
+                .select(
+                    "node",
+                    (
+                        F.lit(1.0 - damping) / F.col("n_nodes")
+                        + F.lit(damping)
+                        * (
+                            F.coalesce("inflow", F.lit(0.0))
+                            + F.lit(float(dangling)) / F.col("n_nodes")
+                        )
+                    ).alias("r"),
+                )
+            )
+            if store is not None and (it + 1) % checkpoint_every == 0:
+                store.overwrite("pr_ranks", nxt)
+                nxt = store.read("pr_ranks", ranks.schema)
+                store.expire_snapshots("pr_ranks", keep_last=2)
+            prev, ranks = ranks, nxt.persist()
+        out = ranks.select("node", F.round("r", 6).alias("pagerank"))
+        if store is not None:
+            # pin the result as its own versioned snapshot (the
+            # cc_labels pattern): stable even if a later pagerank call
+            # on the same store overwrites/expires pr_ranks
+            v = store.overwrite("pr_result", out, coalesce=4)
+            out = store.read("pr_result", out.schema, v)
+        else:
+            # materialize NOW, while this generation's parent cache is
+            # still live — the finally block's unpersists would
+            # otherwise force a full k-iteration recompute on first use
+            out = out.persist()
+            out.count()
+            if handles is not None:
+                handles.append(out)
+        return out
+    finally:
+        ew.unpersist()
+        ranks.unpersist()
+        if prev is not None:
+            prev.unpersist()

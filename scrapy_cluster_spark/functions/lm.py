@@ -248,3 +248,81 @@ def unigram_xent(
             ).alias("xent"),
         )
     )
+
+
+def bigram_table(counts_input: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, w1, w2, c2): per-doc adjacent word-pair counts.  Pairs
+    come from a transform over the token array (guarded: <2 tokens ⇒
+    no pairs; Spark's sequence(1, 0) DESCENDS) — no positional
+    self-join."""
+    w = tokens(text_col)
+    pairs = F.when(F.size(w) < 2, F.array().cast("array<struct<w1:string,w2:string>>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.struct(
+                F.element_at(w, i).alias("w1"),
+                F.element_at(w, i + 1).alias("w2"),
+            ),
+        )
+    )
+    return (
+        counts_input.select(F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+
+
+def bigram_xent(
+    df: DataFrame,
+    k_smooth: float = 0.5,
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+    handles: list | None = None,
+) -> DataFrame:
+    """Cross-entropy per doc under the corpus's own add-k-smoothed
+    BIGRAM LM: X = −(Σ c₂·ln p(w2|w1))/B with
+    p(w2|w1) = (C₂(w1,w2)+k)/(C₁(w1)+k·V), B = the doc's bigram count.
+    One step closer to CCNet's 5-gram KenLM than ``unigram_xent``,
+    still exact + self-trained so the SQL oracle hash-checks it.
+
+    Plan: the per-doc bigram table joins corpus bigram counts (on
+    (w1,w2)) and unigram counts (on w1) — both broadcast (the corpus
+    bigram table is the big one at scale: prune with a min count or
+    set ``broadcast_vocab=False`` for a shuffle join + AQE); V rides a
+    single-row broadcast cross join.  Docs with <2 tokens have no
+    bigrams and produce no row (same contract as token_entropy).
+    """
+    db = bigram_table(df, text_col)
+    if handles is not None:
+        db = db.persist()
+        handles.append(db)
+    corpus2 = db.groupBy("w1", "w2").agg(F.sum("c2").cast("bigint").alias("cc2"))
+    counts = doc_token_counts(df, text_col=text_col)
+    corpus1 = vocab(counts).select("token", "tf")
+    vsize = corpus1.agg(F.count("*").cast("bigint").alias("V"))
+    if broadcast_vocab:
+        corpus2 = F.broadcast(corpus2)
+        corpus1 = F.broadcast(corpus1)
+    return (
+        db.join(corpus2, ["w1", "w2"])
+        .join(corpus1.withColumnRenamed("token", "w1"), "w1")
+        .crossJoin(F.broadcast(vsize))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c2").alias("n_bigrams"),
+            F.round(
+                -F.sum(
+                    F.col("c2")
+                    * F.log(
+                        (F.col("cc2") + F.lit(k_smooth))
+                        / (F.col("tf") + F.lit(k_smooth) * F.col("V"))
+                    )
+                )
+                / F.sum("c2"),
+                6,
+            ).alias("bigram_xent"),
+        )
+    )

@@ -985,6 +985,35 @@ class TestLmProfiling:
         for d, r in got.items():
             assert r.xent >= ent[d] - 1e-6
 
+    def test_bigram_xent_closed_form(self, spark):
+        import math
+
+        from scrapy_cluster_spark.functions import lm as L
+
+        df = spark.createDataFrame(
+            [(0, "a a b"), (1, "b c"), (2, ""), (3, "solo")],
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id: r for r in L.bigram_xent(df, k_smooth=0.5).collect()}
+        # corpus bigrams each count 1; unigrams a:2 b:2 c:1 solo:1, V=4
+        # doc 0: pairs (a,a),(a,b); p = (1+.5)/(2+.5*4) = 1.5/4
+        assert got[0].n_bigrams == 2
+        assert abs(got[0].bigram_xent - round(math.log(4 / 1.5), 6)) < 1e-9
+        # doc 1: (b,c); same smoothed ratio
+        assert got[1].n_bigrams == 1
+        assert abs(got[1].bigram_xent - round(math.log(4 / 1.5), 6)) < 1e-9
+        # empty and single-token docs have no bigrams → no row
+        assert 2 not in got and 3 not in got
+
+    def test_bigram_table_guards(self, spark):
+        from scrapy_cluster_spark.functions import lm as L
+
+        df = spark.createDataFrame(
+            [(0, "x y x y"), (1, "x"), (2, "  ")], ["doc_id", "text"]
+        )
+        rows = {(r.doc_id, r.w1, r.w2): r.c2 for r in L.bigram_table(df).collect()}
+        assert rows == {(0, "x", "y"): 2, (0, "y", "x"): 1}
+
     def test_tfidf_integer_tiebreak(self, spark, tiny):
         from scrapy_cluster_spark.functions import lm as L
 
@@ -1127,3 +1156,86 @@ class TestBPE:
         # encoding with NO merges = raw characters + markers
         raw = {r.doc_id: r for r in B.bpe_encode(df, []).collect()}
         assert raw[1].n_subwords == sum(len(w) + 1 for w in texts[1].split())
+
+
+class TestPageRank:
+    @staticmethod
+    def _py_pagerank(nodes, edges, n_iter=10, d=0.85):
+        """From-scratch power iteration with uniform dangling-mass
+        redistribution — the exact recurrence functions/graph.py
+        pagerank() distributes."""
+        from collections import defaultdict
+
+        n = len(nodes)
+        outd = defaultdict(int)
+        for s, _ in edges:
+            outd[s] += 1
+        r = {v: 1.0 / n for v in nodes}
+        for _ in range(n_iter):
+            dang = sum(r[v] for v in nodes if outd[v] == 0)
+            inflow = defaultdict(float)
+            for s, t in edges:
+                inflow[t] += r[s] / outd[s]
+            r = {v: (1 - d) / n + d * (inflow[v] + dang / n) for v in nodes}
+        return r
+
+    def test_matches_python_reference(self, spark):
+        """Hub, sink, dangling, and isolated nodes in one graph; every
+        node's rank matches the pure-Python recurrence and the vector
+        stays a probability distribution (dangling mass recycled, not
+        leaked)."""
+        from scrapy_cluster_spark.functions import graph as G
+
+        nodes = list(range(6))
+        # 3 is a pure sink (dangling), 5 is isolated (dangling, no in)
+        edges = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (4, 0), (4, 1)]
+        ndf = spark.createDataFrame([(v,) for v in nodes], ["node"])
+        edf = spark.createDataFrame(edges, ["src", "dst"])
+        got = {r.node: r.pagerank for r in G.pagerank(ndf, edf, n_iter=10).collect()}
+        want = self._py_pagerank(nodes, edges, n_iter=10)
+        assert set(got) == set(nodes)
+        for v in nodes:
+            assert abs(got[v] - want[v]) < 2e-6, (v, got[v], want[v])
+        assert abs(sum(got.values()) - 1.0) < 1e-4
+        # the hub-pointed node outranks the isolated one
+        assert got[0] > got[5]
+
+    def test_store_checkpoint_cadence_invariant(self, spark, tmp_path):
+        """Snapshot checkpointing is a physical knob: the store-backed
+        loop (lineage truncated through pr_ranks parquet every round)
+        returns bit-identical ranks to the persist-only loop, and the
+        pinned pr_result snapshot survives pr_ranks expiry."""
+        from scrapy_cluster_spark.functions import graph as G
+        from scrapy_cluster_spark.store import SnapshotStore
+
+        ndf = spark.range(20).withColumnRenamed("id", "node")
+        edf = spark.createDataFrame(
+            [(i, (i * 7 + 3) % 20) for i in range(20) if i != (i * 7 + 3) % 20],
+            ["src", "dst"],
+        )
+        st = SnapshotStore(spark, str(tmp_path / "pr"))
+        a_df = G.pagerank(ndf, edf, n_iter=6, checkpoint_every=1, store=st)
+        a = {r.node: r.pagerank for r in a_df.collect()}
+        b = {r.node: r.pagerank for r in G.pagerank(ndf, edf, n_iter=6).collect()}
+        assert a == b
+        # a second run on the same store must not corrupt the first
+        # result's pinned snapshot
+        G.pagerank(ndf, edf, n_iter=2, checkpoint_every=1, store=st).collect()
+        assert {r.node: r.pagerank for r in a_df.collect()} == a
+
+    def test_storage_owned_by_handles(self, spark):
+        """Loop intermediates are gone after return; the only surviving
+        block is the eagerly checkpointed RESULT, which rides the
+        handle list so release_caches() can drop it (the repo-wide
+        persist-lifecycle contract the round-4 bench enforces)."""
+        from scrapy_cluster_spark.functions import graph as G
+
+        spark.catalog.clearCache()
+        ndf = spark.range(10).withColumnRenamed("id", "node")
+        edf = spark.createDataFrame([(i, (i + 1) % 10) for i in range(10)], ["src", "dst"])
+        handles = []
+        G.pagerank(ndf, edf, n_iter=3, handles=handles).collect()
+        jsc = spark.sparkContext._jsc.sc()
+        assert len(jsc.getRDDStorageInfo()) == len(handles) == 1
+        handles.pop().unpersist()
+        assert len(jsc.getRDDStorageInfo()) == 0
