@@ -462,12 +462,7 @@ def q_pagerank_docs(spark, sf):
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    pr = G.pagerank(
-        docs.withColumnRenamed("doc_id", "node"),
-        edges,
-        n_iter=10,
-        handles=_LIVE_HANDLES,
-    )
+    pr = G.pagerank(docs.withColumnRenamed("doc_id", "node"), edges, n_iter=10)
     return pr.select(F.col("node").alias("doc_id"), "pagerank")
 
 

@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "perplexity_buckets",
     "bpe_pair_counts",
     "bpe_merges",
+    "bigram_xent",
+    "pagerank_docs",
     "neardup_clusters",
     "stats_windows",
     "user_sessions",

@@ -19,12 +19,13 @@ canonical scalable formulation:
   asc) — the same rule as the pure-Python reference the tests compare
   against, so the merge SEQUENCE is reproducible across engines,
   partitionings, and cluster sizes.
-- **Lineage control**: the symbol table re-persists each round and
-  ``localCheckpoint`` truncates the plan every ``checkpoint_every``
-  rounds — without it the 50-round nested plan makes driver-side
-  analysis the bottleneck (the same concern the CC loop solves with
-  reliable SnapshotStore checkpoints; swap in a store-backed
-  checkpoint for resumable production training).
+- **Lineage control**: the symbol table re-persists each round; with a
+  caller-provided SnapshotStore the plan chain is truncated every
+  ``checkpoint_every`` rounds through a ``bpe_syms`` snapshot commit —
+  the CC loop's reliable-checkpoint pattern (parquet on shared storage
+  survives executor loss, and the blocks are ordinary files, not
+  unfreeable ``localCheckpoint`` executor blocks).  Without one the
+  nested-UDF plan grows one node per round — fine to ~50 rounds.
 
 Training is iterative and therefore not SQL-expressible — the driver
 correctness gate records the rows-only check; the exact contract is
@@ -120,11 +121,23 @@ def train_bpe(
     text_col: str = "text",
     min_pair_count: int = 2,
     checkpoint_every: int = 10,
+    store=None,
 ) -> list[dict]:
     """Learn ``n_merges`` BPE merges from the corpus; returns the merge
     sequence [{rank, left, right, pair_count}, ...] in learned order.
     Stops early when the best remaining pair falls under
-    ``min_pair_count`` (merging hapax pairs memorizes noise)."""
+    ``min_pair_count`` (merging hapax pairs memorizes noise).
+
+    ``store``: optional SnapshotStore — every ``checkpoint_every``
+    rounds the symbol table is committed as a ``bpe_syms`` snapshot and
+    re-read, truncating the k-round UDF plan chain (driver analysis
+    cost) and surviving executor loss.  ``localCheckpoint`` is
+    deliberately NOT used: its executor-resident blocks cannot be freed
+    through ``DataFrame.unpersist`` and linger past the repo's
+    release_caches lifecycle (they show up as leaked storage in the
+    bench's between-rep assertions).  Without a store the loop relies
+    on per-round persists alone — fine to ~50 rounds; production-scale
+    vocab training passes a durable store."""
     syms = _initial_symbols(word_table(df, text_col)).persist()
     prev = None
     merges: list[dict] = []
@@ -150,8 +163,10 @@ def train_bpe(
             )
 
             nxt = syms.withColumn("syms", _merge_udf(left, right)("syms"))
-            if (rank + 1) % checkpoint_every == 0:
-                nxt = nxt.localCheckpoint(eager=False)
+            if store is not None and (rank + 1) % checkpoint_every == 0:
+                store.overwrite("bpe_syms", nxt)
+                nxt = store.read("bpe_syms", syms.schema)
+                store.expire_snapshots("bpe_syms", keep_last=2)
             prev, syms = syms, nxt.persist()
     finally:
         syms.unpersist()

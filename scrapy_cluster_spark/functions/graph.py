@@ -336,7 +336,6 @@ def pagerank(
     dst_col: str = "dst",
     checkpoint_every: int = 5,
     store: SnapshotStore | None = None,
-    handles: list | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank (Page et al. 1999) over an explicit
     node set — the link-centrality signal a crawl scheduler can fold
@@ -356,19 +355,35 @@ def pagerank(
     persisted; each round's rank vector is persisted and the previous
     round dropped, so no generation is ever recomputed.
 
-    ``store``: optional SnapshotStore — every ``checkpoint_every``
-    rounds the rank vector is committed as a ``pr_ranks`` snapshot and
-    re-read (the CC loop's RELIABLE checkpoint pattern: parquet on
-    shared storage survives executor loss; ``localCheckpoint`` is
-    deliberately NOT used — its executor-resident blocks die with the
-    executor AND can't be freed through ``DataFrame.unpersist``, so
-    they'd leak past the repo's release_caches lifecycle).  With a
-    store the final result is pinned as its own versioned ``pr_result``
-    snapshot; without one it is persisted + materialized and rides
-    ``handles``.  Fixed iteration count (not an epsilon test) keeps
-    the result deterministic and lets the SQL oracle unroll the same
-    k rounds.
+    ``store``: SnapshotStore — every ``checkpoint_every`` rounds the
+    rank vector is committed as a ``pr_ranks`` snapshot and re-read
+    (the CC loop's RELIABLE checkpoint pattern: parquet on shared
+    storage survives executor loss; ``localCheckpoint`` is deliberately
+    NOT used — its executor-resident blocks die with the executor AND
+    can't be freed through ``DataFrame.unpersist``, so they'd leak past
+    the repo's release_caches lifecycle).  When None, a process-temp
+    store is created (tmpfs when available, reclaimed at exit — the
+    connected_components owns-store pattern); production passes a
+    durable location.  The final result is always pinned as its own
+    versioned ``pr_result`` snapshot, so the returned plan is a plain
+    parquet scan: stable across later calls on the same store, and free
+    of the k-generation nested-cache lineage (whose formatted explain
+    grows exponentially).  Fixed iteration count (not an epsilon test)
+    keeps the result deterministic and lets the SQL oracle unroll the
+    same k rounds.
     """
+    import atexit
+    import os
+
+    spark = nodes.sparkSession
+    owns_store = store is None
+    if owns_store:
+        scratch_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        store = SnapshotStore(
+            spark, tempfile.mkdtemp(prefix="scs-pr-", dir=scratch_root)
+        )
+        # the pinned result must outlive this call; reclaim at exit
+        atexit.register(shutil.rmtree, store.root, ignore_errors=True)
     n = nodes.select(F.col(id_col).alias("node"))
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
@@ -417,29 +432,24 @@ def pagerank(
                     ).alias("r"),
                 )
             )
-            if store is not None and (it + 1) % checkpoint_every == 0:
+            if (it + 1) % checkpoint_every == 0:
                 store.overwrite("pr_ranks", nxt)
                 nxt = store.read("pr_ranks", ranks.schema)
                 store.expire_snapshots("pr_ranks", keep_last=2)
             prev, ranks = ranks, nxt.persist()
         out = ranks.select("node", F.round("r", 6).alias("pagerank"))
-        if store is not None:
-            # pin the result as its own versioned snapshot (the
-            # cc_labels pattern): stable even if a later pagerank call
-            # on the same store overwrites/expires pr_ranks
-            v = store.overwrite("pr_result", out, coalesce=4)
-            out = store.read("pr_result", out.schema, v)
-        else:
-            # materialize NOW, while this generation's parent cache is
-            # still live — the finally block's unpersists would
-            # otherwise force a full k-iteration recompute on first use
-            out = out.persist()
-            out.count()
-            if handles is not None:
-                handles.append(out)
-        return out
+        # pin the result as its own versioned snapshot (the cc_labels
+        # pattern): stable even if a later pagerank call on the same
+        # store overwrites/expires pr_ranks
+        v = store.overwrite("pr_result", out, coalesce=4)
+        return store.read("pr_result", out.schema, v)
     finally:
         ew.unpersist()
         ranks.unpersist()
         if prev is not None:
             prev.unpersist()
+        if owns_store:
+            # per-round scratch is droppable now; only pr_result survives
+            rdir = os.path.join(store.root, "pr_ranks")
+            if os.path.isdir(rdir):
+                shutil.rmtree(rdir, ignore_errors=True)

@@ -41,6 +41,8 @@ KEY_QUERIES = [
     "perplexity_buckets",
     "user_sessions",
     "bpe_pair_counts",
+    "bigram_xent",
+    "pagerank_docs",
 ]
 
 

@@ -1122,10 +1122,35 @@ class TestBPE:
         df = spark.createDataFrame(
             [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
         )
-        got = B.train_bpe(df, n_merges=12, checkpoint_every=4)
+        got = B.train_bpe(df, n_merges=12)
         ref = self._py_bpe(texts, 12)
         assert got == ref
         assert len(got) >= 8  # the corpus supports a real merge sequence
+
+    def test_store_checkpointed_training_identical_and_leak_free(
+        self, spark, tmp_path
+    ):
+        """Store-backed lineage truncation is a physical knob: same
+        merge sequence as the persist-only loop, and NO storage blocks
+        survive either loop (the localCheckpoint it replaced leaked
+        unfreeable executor blocks into the bench's between-rep
+        assertions)."""
+        from scrapy_cluster_spark.functions import bpe as B
+        from scrapy_cluster_spark.store import SnapshotStore
+
+        texts = [
+            "low lower lowest low low",
+            "new newer newest new news",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        spark.catalog.clearCache()
+        st = SnapshotStore(spark, str(tmp_path / "bpe"))
+        m_store = B.train_bpe(df, n_merges=8, checkpoint_every=2, store=st)
+        m_plain = B.train_bpe(df, n_merges=8)
+        assert m_store == m_plain == self._py_bpe(texts, 8)
+        assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == 0
 
     def test_merge_sequence_partitioning_invariant(self, spark):
         from scrapy_cluster_spark.functions import bpe as B
@@ -1223,19 +1248,20 @@ class TestPageRank:
         G.pagerank(ndf, edf, n_iter=2, checkpoint_every=1, store=st).collect()
         assert {r.node: r.pagerank for r in a_df.collect()} == a
 
-    def test_storage_owned_by_handles(self, spark):
-        """Loop intermediates are gone after return; the only surviving
-        block is the eagerly checkpointed RESULT, which rides the
-        handle list so release_caches() can drop it (the repo-wide
-        persist-lifecycle contract the round-4 bench enforces)."""
+    def test_no_storage_survives_and_plan_is_a_scan(self, spark):
+        """Loop intermediates are gone after return (the repo-wide
+        persist-lifecycle contract the bench enforces between reps),
+        and the returned plan reads the pinned pr_result snapshot — a
+        plain parquet scan, NOT the k-generation nested-cache lineage
+        (whose formatted explain grows exponentially)."""
         from scrapy_cluster_spark.functions import graph as G
 
         spark.catalog.clearCache()
         ndf = spark.range(10).withColumnRenamed("id", "node")
         edf = spark.createDataFrame([(i, (i + 1) % 10) for i in range(10)], ["src", "dst"])
-        handles = []
-        G.pagerank(ndf, edf, n_iter=3, handles=handles).collect()
-        jsc = spark.sparkContext._jsc.sc()
-        assert len(jsc.getRDDStorageInfo()) == len(handles) == 1
-        handles.pop().unpersist()
-        assert len(jsc.getRDDStorageInfo()) == 0
+        out = G.pagerank(ndf, edf, n_iter=3)
+        assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == 0
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "InMemoryTableScan" not in plan
+        assert "FileScan parquet" in plan
+        assert len(out.collect()) == 10
