@@ -407,6 +407,14 @@ def q_bigram_xent(spark, sf):
     return L.bigram_xent(docs, k_smooth=0.5, handles=_LIVE_HANDLES)
 
 
+def q_tfidf_cosine_pairs(spark, sf):
+    """Exact sparse TF-IDF cosine near-dup pairs — the lexical-weight
+    counterpart to MinHash/Jaccard (set) and embedding cosine (dense);
+    inverted-index join, df-windowed vocabulary as the skew bound."""
+    docs = _t(spark, sf, "documents")
+    return L.tfidf_cosine_pairs(docs, threshold=0.6, handles=_LIVE_HANDLES)
+
+
 def q_bpe_merges(spark, sf):
     """Distributed BPE training (Sennrich et al. 2016): 20 merges
     learned from the corpus word-frequency table.  Iterative (argmax →
@@ -433,15 +441,13 @@ def q_bpe_pair_counts(spark, sf):
     )
 
 
-def q_pagerank_docs(spark, sf):
-    """PageRank over a deterministic 3-out link graph derived from the
-    document ids by pure integer arithmetic (LCG: identical in Spark
-    and the oracle, no hex/hash conversion needed) — the OPIC-style
-    centrality signal a crawl scheduler folds into frontier priority.
-    10 power iterations, unrolled identically in the SQL oracle."""
-    docs = _t(spark, sf, "documents").select("doc_id")
+def _lcg_link_graph(docs):
+    """Deterministic 3-out link graph over the document ids by pure
+    integer arithmetic (LCG: identical in Spark and the oracle, no
+    hex/hash conversion needed) — the synthetic stand-in for the crawl
+    link graph the centrality queries rank."""
     nd = docs.agg(F.count("*").alias("n_docs"))
-    edges = (
+    return (
         docs.crossJoin(F.broadcast(nd))
         .select(
             "doc_id",
@@ -462,8 +468,29 @@ def q_pagerank_docs(spark, sf):
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+
+
+def q_pagerank_docs(spark, sf):
+    """PageRank over the deterministic LCG link graph — the OPIC-style
+    centrality signal a crawl scheduler folds into frontier priority.
+    10 power iterations, unrolled identically in the SQL oracle."""
+    docs = _t(spark, sf, "documents").select("doc_id")
+    edges = _lcg_link_graph(docs)
     pr = G.pagerank(docs.withColumnRenamed("doc_id", "node"), edges, n_iter=10)
     return pr.select(F.col("node").alias("doc_id"), "pagerank")
+
+
+def q_hits_docs(spark, sf):
+    """HITS hubs & authorities (Kleinberg 1999) over the same LCG link
+    graph: mutually-reinforcing hub/authority scores, L2-normalized
+    each half-step; 10 rounds unrolled identically in the SQL oracle.
+    The crawl-side complement to PageRank: authorities rank CONTENT
+    pages, hubs rank LINK pages (directory/index pages a scheduler may
+    crawl shallow-but-wide)."""
+    docs = _t(spark, sf, "documents").select("doc_id")
+    edges = _lcg_link_graph(docs)
+    h = G.hits(docs.withColumnRenamed("doc_id", "node"), edges, n_iter=10)
+    return h.select(F.col("node").alias("doc_id"), "hub", "authority")
 
 
 def q_neardup_clusters(spark, sf):
@@ -752,9 +779,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_xent": q_unigram_xent,
         "perplexity_buckets": q_perplexity_buckets,
         "bigram_xent": q_bigram_xent,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "bpe_merges": q_bpe_merges,
         "bpe_pair_counts": q_bpe_pair_counts,
         "pagerank_docs": q_pagerank_docs,
+        "hits_docs": q_hits_docs,
         "neardup_clusters": q_neardup_clusters,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_neardup": q_minhash_neardup,
@@ -877,6 +906,50 @@ def _pagerank_oracle(n_iter: int = 10, d: float = 0.85) -> str:
       )"""
     return s + f"""
       SELECT node AS doc_id, round(r, 6) AS pagerank FROM r{n_iter}"""
+
+
+def _hits_oracle(n_iter: int = 10) -> str:
+    """Unrolled HITS: each half-step is a sparse matvec + L2 normalize,
+    exactly the Spark loop's recurrence.  MATERIALIZED for the same
+    3^k-inlining reason as the PageRank oracle."""
+    s = """
+      WITH nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+      edges AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM (
+          SELECT doc_id AS src,
+                 (doc_id * 1103515245 + j * 12345 + 7)
+                   % (SELECT count(*) FROM documents) AS dst
+          FROM documents, (SELECT unnest([1, 2, 3]) AS j)
+        ) WHERE src <> dst
+      ),
+      h0 AS MATERIALIZED (
+        SELECT src AS node,
+               1.0 / sqrt((SELECT count(DISTINCT src) FROM edges)) AS s
+        FROM edges GROUP BY src
+      )"""
+    for i in range(1, n_iter + 1):
+        s += f""",
+      ar{i} AS MATERIALIZED (
+        SELECT e.dst AS node, SUM(p.s) AS s
+        FROM edges e JOIN h{i - 1} p ON p.node = e.src GROUP BY e.dst
+      ),
+      a{i} AS MATERIALIZED (
+        SELECT node, s / (SELECT sqrt(SUM(s * s)) FROM ar{i}) AS s FROM ar{i}
+      ),
+      hr{i} AS MATERIALIZED (
+        SELECT e.src AS node, SUM(p.s) AS s
+        FROM edges e JOIN a{i} p ON p.node = e.dst GROUP BY e.src
+      ),
+      h{i} AS MATERIALIZED (
+        SELECT node, s / (SELECT sqrt(SUM(s * s)) FROM hr{i}) AS s FROM hr{i}
+      )"""
+    return s + f"""
+      SELECT n.node AS doc_id,
+             round(COALESCE(h.s, 0), 6) AS hub,
+             round(COALESCE(a.s, 0), 6) AS authority
+      FROM nodes n
+      LEFT JOIN h{n_iter} h ON h.node = n.node
+      LEFT JOIN a{n_iter} a ON a.node = n.node"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1032,6 +1105,39 @@ def oracle_sql() -> dict[str, str]:
             FROM per GROUP BY source
         """,
         "pagerank_docs": _pagerank_oracle(),
+        "hits_docs": _hits_oracle(),
+        "tfidf_cosine_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\s+')) AS token
+              FROM documents
+            ), tc AS (
+              SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+              FROM toks WHERE token <> '' GROUP BY 1, 2
+            ), nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+            v AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS df_docs
+              FROM tc GROUP BY token
+            ), vf AS (
+              SELECT token, df_docs FROM v CROSS JOIN nd
+              WHERE df_docs >= 1
+                AND df_docs <= greatest(1, floor(n_docs * 0.5))
+            ), w AS (
+              SELECT tc.doc_id, tc.token,
+                     tc.c * (ln((nd.n_docs + 1.0) / (vf.df_docs + 1.0)) + 1) AS w
+              FROM tc JOIN vf USING (token) CROSS JOIN nd
+            ), norms AS (
+              SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1
+            ), wn AS (
+              SELECT w.doc_id, w.token, w.w / n.nrm AS wn
+              FROM w JOIN norms n USING (doc_id)
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   round(sum(a.wn * b.wn), 6) AS cosine
+            FROM wn a JOIN wn b ON a.token = b.token AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING round(sum(a.wn * b.wn), 6) >= 0.6
+        """,
         "bigram_xent": r"""
             WITH words AS (
               SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

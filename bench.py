@@ -62,7 +62,9 @@ BENCH_QUERIES = [
     "bpe_pair_counts",
     "bpe_merges",
     "bigram_xent",
+    "tfidf_cosine_pairs",
     "pagerank_docs",
+    "hits_docs",
     "neardup_clusters",
     "stats_windows",
     "user_sessions",

@@ -453,3 +453,105 @@ def pagerank(
             rdir = os.path.join(store.root, "pr_ranks")
             if os.path.isdir(rdir):
                 shutil.rmtree(rdir, ignore_errors=True)
+
+
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 10,
+    id_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 5,
+    store: SnapshotStore | None = None,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg, "Authoritative sources in a
+    hyperlinked environment", JACM 1999): mutually-reinforcing hub and
+    authority scores over a directed link graph.
+
+        a_t(v) = Σ_{(u,v)∈E} h_{t-1}(u)   then L2-normalize a_t
+        h_t(u) = Σ_{(u,v)∈E} a_t(v)       then L2-normalize h_t
+
+    Scores stay SPARSE through the loop (only nodes with in-edges carry
+    authority, only nodes with out-edges carry hub mass — identical in
+    the SQL oracle); the final output left-joins the node set with
+    zeros.  Per half-step: ONE equi-join of the score vector with the
+    persisted edge list + ONE groupBy, and one scalar action (the L2
+    norm — also the cache barrier, so no generation recomputes).  Same
+    store/checkpoint contract as :func:`pagerank`: reliable snapshot
+    truncation, result pinned as a versioned ``hits_result`` snapshot,
+    plain-scan return plan.  Fixed iteration count keeps the result
+    deterministic and SQL-unrollable.
+    """
+    import atexit
+    import math
+    import os
+
+    if n_iter < 1:
+        raise ValueError("hits needs n_iter >= 1")
+    spark = nodes.sparkSession
+    owns_store = store is None
+    if owns_store:
+        scratch_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        store = SnapshotStore(
+            spark, tempfile.mkdtemp(prefix="scs-hits-", dir=scratch_root)
+        )
+        atexit.register(shutil.rmtree, store.root, ignore_errors=True)
+    n = nodes.select(F.col(id_col).alias("node"))
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
+    # h_0 = 1 on every node WITH out-edges (sparse), L2-normalized
+    srcs = e.select(F.col("src").alias("node")).distinct()
+    n_src = srcs.count()
+    h = srcs.select("node", F.lit(1.0 / math.sqrt(max(n_src, 1))).alias("s")).persist()
+    live: list[DataFrame] = [h]
+
+    def _norm(df: DataFrame) -> float:
+        row = df.agg(F.sqrt(F.sum(F.col("s") * F.col("s")))).collect()[0][0]
+        return float(row) if row else 1.0
+
+    def _step(scores: DataFrame, join_col: str, emit_col: str) -> DataFrame:
+        raw = (
+            scores.withColumnRenamed("node", join_col)
+            .join(e, join_col)
+            .groupBy(F.col(emit_col).alias("node"))
+            .agg(F.sum("s").alias("s"))
+        ).persist()
+        live.append(raw)
+        z = _norm(raw)  # action: materializes raw, so its parent is droppable
+        return raw.select("node", (F.col("s") / F.lit(z)).alias("s"))
+
+    try:
+        for it in range(n_iter):
+            a = _step(h, "src", "dst")      # authorities from hubs
+            h = _step(a, "dst", "src")      # hubs from authorities
+            # both raws of this round are materialized; older rounds
+            # are droppable and never recomputed
+            while len(live) > 2:
+                live.pop(0).unpersist()
+            if (it + 1) % checkpoint_every == 0:
+                # truncate the CARRIED chain (h feeds every later
+                # round); a's lineage stays bounded by the cadence
+                store.overwrite("hits_h", h)
+                h = store.read("hits_h", h.schema)
+                store.expire_snapshots("hits_h", keep_last=2)
+            last_a = a
+        out = (
+            n.join(last_a.withColumnRenamed("s", "authority"), "node", "left")
+            .join(h.withColumnRenamed("s", "hub"), "node", "left")
+            .select(
+                "node",
+                F.round(F.coalesce("hub", F.lit(0.0)), 6).alias("hub"),
+                F.round(F.coalesce("authority", F.lit(0.0)), 6).alias("authority"),
+            )
+        )
+        v = store.overwrite("hits_result", out, coalesce=4)
+        return store.read("hits_result", out.schema, v)
+    finally:
+        e.unpersist()
+        for df in live:
+            df.unpersist()
+        if owns_store:
+            for scratch in ("hits_h",):
+                sdir = os.path.join(store.root, scratch)
+                if os.path.isdir(sdir):
+                    shutil.rmtree(sdir, ignore_errors=True)

@@ -326,3 +326,74 @@ def bigram_xent(
             ).alias("bigram_xent"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    min_df: int = 1,
+    max_df_frac: float = 0.5,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    handles: list | None = None,
+) -> DataFrame:
+    """Exact sparse cosine similarity over TF-IDF vectors: (a, b,
+    cosine) for every ordered doc pair with cosine ≥ ``threshold`` —
+    the lexical-overlap counterpart to MinHash/Jaccard (set overlap)
+    and embedding cosine (dense): near-dup detection that weighs WHAT
+    is shared, not just how much.
+
+    Weights w(d,t) = c · (ln((N+1)/(df+1)) + 1) (the ``tfidf_topk``
+    smoothing) over the df-windowed vocabulary (``min_df`` ≤ df ≤
+    ``max_df`` | ⌊N·max_df_frac⌋), L2-normalized per doc; docs with no
+    surviving tokens produce no rows.
+
+    Plan: inverted-index (posting-list) self-join on token — NOT
+    all-pairs: each token t contributes C(df(t), 2) candidate products,
+    so the df ceiling is ALSO the skew/complexity bound (stopwords are
+    exactly the mega-posting hot keys; at corpus scale lower
+    ``max_df_frac`` or set an absolute ``max_df``).  One shuffle on
+    token for the join, one on (a, b) for the grouped dot product;
+    vocab and the doc-count scalar broadcast.  Exact w.r.t. the stated
+    df-windowed weighting (the window is part of the semantics, as in
+    every practical TF-IDF system) — fully SQL-expressible, so the
+    oracle hash-checks it.
+    """
+    counts = doc_token_counts(df, id_col=id_col, text_col=text_col)
+    nd = df.agg(F.count("*").alias("n_docs"))
+    df_cap = (
+        F.lit(max_df)
+        if max_df is not None
+        else F.greatest(F.lit(1), F.floor(F.col("n_docs") * F.lit(max_df_frac)))
+    )
+    v = (
+        vocab(counts)
+        .crossJoin(F.broadcast(nd))
+        .filter((F.col("df_docs") >= min_df) & (F.col("df_docs") <= df_cap))
+        .select("token", "df_docs", "n_docs")
+    )
+    w = counts.join(F.broadcast(v), "token").select(
+        "doc_id",
+        "token",
+        (
+            F.col("c")
+            * (F.log((F.col("n_docs") + 1) / (F.col("df_docs") + 1)) + 1)
+        ).alias("w"),
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    wn = w.join(norms, "doc_id").select(
+        "doc_id", "token", (F.col("w") / F.col("nrm")).alias("wn")
+    )
+    if handles is not None:
+        wn = wn.persist()
+        handles.append(wn)
+    a = wn.select(F.col("doc_id").alias("a"), "token", F.col("wn").alias("wa"))
+    b = wn.select(F.col("doc_id").alias("b"), "token", F.col("wn").alias("wb"))
+    return (
+        a.join(b, "token")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.round(F.sum(F.col("wa") * F.col("wb")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

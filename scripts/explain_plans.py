@@ -43,6 +43,8 @@ KEY_QUERIES = [
     "bpe_pair_counts",
     "bigram_xent",
     "pagerank_docs",
+    "hits_docs",
+    "tfidf_cosine_pairs",
 ]
 
 

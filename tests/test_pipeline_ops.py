@@ -1265,3 +1265,151 @@ class TestPageRank:
         assert "Exchange" not in plan and "InMemoryTableScan" not in plan
         assert "FileScan parquet" in plan
         assert len(out.collect()) == 10
+
+
+class TestHITS:
+    @staticmethod
+    def _py_hits(nodes, edges, n_iter=10):
+        """From-scratch HITS with L2 normalization per half-step, kept
+        sparse exactly like the Spark loop and SQL oracle."""
+        import math
+        from collections import defaultdict
+
+        srcs = sorted({s for s, _ in edges})
+        h = {v: 1.0 / math.sqrt(len(srcs)) for v in srcs}
+        a = {}
+        for _ in range(n_iter):
+            a = defaultdict(float)
+            for s, t in edges:
+                if s in h:
+                    a[t] += h[s]
+            za = math.sqrt(sum(x * x for x in a.values()))
+            a = {v: x / za for v, x in a.items()}
+            h = defaultdict(float)
+            for s, t in edges:
+                if t in a:
+                    h[s] += a[t]
+            zh = math.sqrt(sum(x * x for x in h.values()))
+            h = {v: x / zh for v, x in h.items()}
+        return (
+            {v: h.get(v, 0.0) for v in nodes},
+            {v: a.get(v, 0.0) for v in nodes},
+        )
+
+    def test_matches_python_reference(self, spark):
+        """Directory page (hub), content pages (authorities), a
+        dangling sink and an isolated node; both score vectors match
+        the reference and stay unit-L2 over their support."""
+        from scrapy_cluster_spark.functions import graph as G
+
+        nodes = list(range(7))
+        # 0,1 are hubs pointing at 2,3,4; 5 is a sink; 6 isolated
+        edges = [(0, 2), (0, 3), (0, 4), (1, 2), (1, 3), (2, 5), (4, 5)]
+        ndf = spark.createDataFrame([(v,) for v in nodes], ["node"])
+        edf = spark.createDataFrame(edges, ["src", "dst"])
+        got = {r.node: r for r in G.hits(ndf, edf, n_iter=10).collect()}
+        hub, auth = self._py_hits(nodes, edges, n_iter=10)
+        for v in nodes:
+            assert abs(got[v].hub - hub[v]) < 2e-6, ("hub", v)
+            assert abs(got[v].authority - auth[v]) < 2e-6, ("auth", v)
+        # the 3-out directory outranks the 2-out one as a hub; the
+        # doubly-cited pages outrank the sink as authorities
+        assert got[0].hub > got[1].hub > 0
+        assert got[2].authority > got[5].authority
+        assert got[6].hub == got[6].authority == 0.0
+
+    def test_store_cadence_invariant_and_leak_free(self, spark, tmp_path):
+        from scrapy_cluster_spark.functions import graph as G
+        from scrapy_cluster_spark.store import SnapshotStore
+
+        ndf = spark.range(15).withColumnRenamed("id", "node")
+        edf = spark.createDataFrame(
+            [(i, (i * 5 + 2) % 15) for i in range(15) if i != (i * 5 + 2) % 15],
+            ["src", "dst"],
+        )
+        spark.catalog.clearCache()
+        st = SnapshotStore(spark, str(tmp_path / "hits"))
+        a = {r.node: (r.hub, r.authority)
+             for r in G.hits(ndf, edf, n_iter=6, checkpoint_every=1, store=st).collect()}
+        b = {r.node: (r.hub, r.authority)
+             for r in G.hits(ndf, edf, n_iter=6).collect()}
+        assert a == b
+        assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == 0
+
+
+class TestTfidfCosine:
+    @staticmethod
+    def _py_pairs(texts, threshold, min_df=1, max_df_frac=0.5):
+        """Brute-force all-pairs sparse cosine with the same df-windowed
+        smoothed-idf weighting."""
+        import math
+        from collections import Counter
+
+        docs = {i: Counter(t.split()) for i, t in enumerate(texts)}
+        n = len(texts)
+        df = Counter()
+        for c in docs.values():
+            df.update(c.keys())
+        cap = max(1, math.floor(n * max_df_frac))
+        w = {}
+        for i, c in docs.items():
+            vec = {
+                t: cnt * (math.log((n + 1) / (df[t] + 1)) + 1)
+                for t, cnt in c.items()
+                if t and min_df <= df[t] <= cap
+            }
+            nrm = math.sqrt(sum(x * x for x in vec.values()))
+            if nrm:
+                w[i] = {t: x / nrm for t, x in vec.items()}
+        out = {}
+        for a in w:
+            for b in w:
+                if a < b:
+                    s = round(sum(w[a][t] * w[b].get(t, 0.0) for t in w[a]), 6)
+                    if s >= threshold:
+                        out[(a, b)] = s
+        return out
+
+    def test_matches_bruteforce_reference(self, spark):
+        from scrapy_cluster_spark.functions import lm as L
+
+        texts = [
+            "apple banana cherry date",
+            "apple banana cherry date",          # exact dup of 0
+            "apple banana cherry elderberry",    # near dup
+            "spark shuffle partitions broadcast",
+            "spark shuffle exchange stage",
+            "zebra yak xylophone walrus",
+            "",                                  # no tokens → no vector
+            "apple apple apple apple",           # repeated single token
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        got = {(r.a, r.b): r.cosine
+               for r in L.tfidf_cosine_pairs(df, threshold=0.2).collect()}
+        want = self._py_pairs(texts, threshold=0.2)
+        assert got == want
+        assert got[(0, 1)] == 1.0        # identical docs → exactly 1
+        assert (0, 3) not in got         # disjoint vocab → no pair
+        assert all(a < b for a, b in got)
+
+    def test_df_window_prunes_stop_tokens(self, spark):
+        """A token present in >max_df_frac of docs is excluded from
+        every vector: two docs whose ONLY shared token is corpus-wide
+        boilerplate must not pair."""
+        from scrapy_cluster_spark.functions import lm as L
+
+        texts = [
+            "the alpha topic", "the beta subject", "the gamma theme",
+            "the delta matter", "the epsilon issue", "the zeta thing",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        got = {(r.a, r.b) for r in L.tfidf_cosine_pairs(df, threshold=0.05).collect()}
+        assert got == set()              # 'the' (df=6/6) carries no weight
+        # absolute max_df override re-admits it
+        loose = {(r.a, r.b)
+                 for r in L.tfidf_cosine_pairs(df, threshold=0.05, max_df=6).collect()}
+        assert len(loose) == 15          # all pairs now share 'the'
