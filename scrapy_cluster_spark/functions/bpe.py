@@ -130,14 +130,36 @@ def train_bpe(
 
     ``store``: optional SnapshotStore — every ``checkpoint_every``
     rounds the symbol table is committed as a ``bpe_syms`` snapshot and
-    re-read, truncating the k-round UDF plan chain (driver analysis
-    cost) and surviving executor loss.  ``localCheckpoint`` is
-    deliberately NOT used: its executor-resident blocks cannot be freed
-    through ``DataFrame.unpersist`` and linger past the repo's
+    re-read, truncating the k-round plan chain.  Truncation is NOT
+    optional: Spark renders the physical-plan description string on
+    every action, and nested InMemoryRelation trees make that string
+    EXPONENTIAL in loop depth — an untruncated 20-round loop OOMs an
+    8 GB driver inside ``generateTreeString`` before any data moves.
+    When no store is given a process-temp one is created at the first
+    checkpoint (tmpfs when available, reclaimed at exit).
+    ``localCheckpoint`` is deliberately NOT used: its executor-resident
+    blocks die with the executor and cannot be freed through
+    ``DataFrame.unpersist``, so they leak past the repo's
     release_caches lifecycle (they show up as leaked storage in the
-    bench's between-rep assertions).  Without a store the loop relies
-    on per-round persists alone — fine to ~50 rounds; production-scale
-    vocab training passes a durable store."""
+    bench's between-rep assertions)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..store import SnapshotStore
+
+    spark = df.sparkSession
+    owns_store = store is None
+
+    def _scratch_store():
+        scratch_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        st = SnapshotStore(
+            spark, tempfile.mkdtemp(prefix="scs-bpe-", dir=scratch_root)
+        )
+        atexit.register(shutil.rmtree, st.root, ignore_errors=True)
+        return st
+
     syms = _initial_symbols(word_table(df, text_col)).persist()
     prev = None
     merges: list[dict] = []
@@ -163,7 +185,9 @@ def train_bpe(
             )
 
             nxt = syms.withColumn("syms", _merge_udf(left, right)("syms"))
-            if store is not None and (rank + 1) % checkpoint_every == 0:
+            if (rank + 1) % checkpoint_every == 0:
+                if store is None:
+                    store = _scratch_store()
                 store.overwrite("bpe_syms", nxt)
                 nxt = store.read("bpe_syms", syms.schema)
                 store.expire_snapshots("bpe_syms", keep_last=2)
@@ -172,6 +196,10 @@ def train_bpe(
         syms.unpersist()
         if prev is not None:
             prev.unpersist()
+        if owns_store and store is not None:
+            # the return value is a plain list — nothing reads the
+            # scratch snapshots after the loop
+            shutil.rmtree(store.root, ignore_errors=True)
     return merges
 
 

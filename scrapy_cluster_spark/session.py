@@ -56,6 +56,12 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # defense-in-depth for iterative plans: the plan-description
+        # string Spark renders per action grows EXPONENTIALLY with
+        # nested InMemoryRelations (an untruncated 20-round loop OOMs
+        # the driver inside generateTreeString); loops truncate through
+        # SnapshotStore commits, this caps the string if one slips
+        .config("spark.sql.maxPlanStringLength", str(8 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         # keep the pandas-UDF worker pool warm: idle reaping respawns
