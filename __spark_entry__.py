@@ -909,8 +909,9 @@ def _pagerank_oracle(n_iter: int = 10, d: float = 0.85) -> str:
 
 
 def _hits_oracle(n_iter: int = 10) -> str:
-    """Unrolled HITS: each half-step is a sparse matvec + L2 normalize,
-    exactly the Spark loop's recurrence.  MATERIALIZED for the same
+    """Unrolled HITS: each half-step is a sparse matvec; normalization
+    is deferred to the end exactly like the Spark loop (a pure scaling,
+    so the normalized result is identical).  MATERIALIZED for the same
     3^k-inlining reason as the PageRank oracle."""
     s = """
       WITH nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),
@@ -923,30 +924,24 @@ def _hits_oracle(n_iter: int = 10) -> str:
         ) WHERE src <> dst
       ),
       h0 AS MATERIALIZED (
-        SELECT src AS node,
-               1.0 / sqrt((SELECT count(DISTINCT src) FROM edges)) AS s
-        FROM edges GROUP BY src
+        SELECT src AS node, 1.0 AS s FROM edges GROUP BY src
       )"""
     for i in range(1, n_iter + 1):
         s += f""",
-      ar{i} AS MATERIALIZED (
+      a{i} AS MATERIALIZED (
         SELECT e.dst AS node, SUM(p.s) AS s
         FROM edges e JOIN h{i - 1} p ON p.node = e.src GROUP BY e.dst
       ),
-      a{i} AS MATERIALIZED (
-        SELECT node, s / (SELECT sqrt(SUM(s * s)) FROM ar{i}) AS s FROM ar{i}
-      ),
-      hr{i} AS MATERIALIZED (
+      h{i} AS MATERIALIZED (
         SELECT e.src AS node, SUM(p.s) AS s
         FROM edges e JOIN a{i} p ON p.node = e.dst GROUP BY e.src
-      ),
-      h{i} AS MATERIALIZED (
-        SELECT node, s / (SELECT sqrt(SUM(s * s)) FROM hr{i}) AS s FROM hr{i}
       )"""
     return s + f"""
       SELECT n.node AS doc_id,
-             round(COALESCE(h.s, 0), 6) AS hub,
-             round(COALESCE(a.s, 0), 6) AS authority
+             round(COALESCE(
+               h.s / (SELECT sqrt(SUM(s * s)) FROM h{n_iter}), 0), 6) AS hub,
+             round(COALESCE(
+               a.s / (SELECT sqrt(SUM(s * s)) FROM a{n_iter}), 0), 6) AS authority
       FROM nodes n
       LEFT JOIN h{n_iter} h ON h.node = n.node
       LEFT JOIN a{n_iter} a ON a.node = n.node"""

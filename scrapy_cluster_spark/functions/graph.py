@@ -348,12 +348,21 @@ def pagerank(
     out-edges) — redistributed uniformly, so Σr stays 1 every
     iteration (asserted by test against a pure-Python reference).
 
-    Plan per iteration: ONE equi-join of the rank vector with the
-    out-degree-annotated edge list (shuffle on src), ONE groupBy dst
-    (shuffle on dst), plus a single-row broadcast for the dangling
-    mass.  The edge list with out-degrees is computed once and
-    persisted; each round's rank vector is persisted and the previous
-    round dropped, so no generation is ever recomputed.
+    Two physical strategies behind the same recurrence, chosen by ONE
+    upfront probe (is any node dangling?):
+
+    - **No dangling nodes** (most link graphs after the usual
+      sink-stripping, and any graph with guaranteed out-edges): D_t = 0
+      every round, so nothing round-scoped has to reach the driver —
+      the whole loop is ONE lazy linear plan (per round: rank⋈edges
+      shuffle + groupBy dst + left join back to the node set), no
+      per-round action, no per-round persist, executed in a single
+      Spark job at the final snapshot write.
+    - **Dangling nodes present**: D_t depends on r_t, so each round
+      collects the one dangling-mass scalar — that collect doubles as
+      the cache barrier (each generation persists, the previous is
+      dropped after materialization; a lazy dangling column would
+      re-derive per consumer, going exponential over k rounds).
 
     ``store``: SnapshotStore — every ``checkpoint_every`` rounds the
     rank vector is committed as a ``pr_ranks`` snapshot and re-read
@@ -375,6 +384,8 @@ def pagerank(
     import atexit
     import os
 
+    if n_iter < 1:
+        raise ValueError("pagerank needs n_iter >= 1")
     spark = nodes.sparkSession
     owns_store = store is None
     if owns_store:
@@ -384,59 +395,85 @@ def pagerank(
         )
         # the pinned result must outlive this call; reclaim at exit
         atexit.register(shutil.rmtree, store.root, ignore_errors=True)
-    n = nodes.select(F.col(id_col).alias("node"))
+    n = nodes.select(F.col(id_col).alias("node")).persist()
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
     ew = e.join(outdeg, "src").persist()
-    nd = n.agg(F.count("*").cast("double").alias("n_nodes"))
-    ranks = n.crossJoin(F.broadcast(nd)).select(
-        "node", (F.lit(1.0) / F.col("n_nodes")).alias("r")
-    ).persist()
+    n_nodes = float(n.count())  # also materializes n's cache
+    if n_nodes == 0:
+        raise ValueError("pagerank needs a non-empty node set")
+    no_dangling = n.join(
+        outdeg.withColumnRenamed("src", "node"), "node", "left_anti"
+    ).isEmpty()
+    base = F.lit((1.0 - damping) / n_nodes)
+    ranks = n.select("node", F.lit(1.0 / n_nodes).alias("r"))
+    cached = None
     prev = None
     try:
-        for it in range(n_iter):
-            # dangling mass (rank at nodes with no out-edges): the ONE
-            # action per iteration — it materializes this generation's
-            # rank cache (referenced twice below), so the previous
-            # generation is droppable right after, and no generation is
-            # ever recomputed (a lazy dangling column would re-derive
-            # each generation per consumer — exponential over k rounds)
-            dangling = (
-                ranks.join(
-                    outdeg.withColumnRenamed("src", "node"), "node", "left_anti"
+        if no_dangling:
+            for it in range(n_iter):
+                contrib = (
+                    ranks.withColumnRenamed("node", "src")
+                    .join(ew, "src")
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.sum(F.col("r") / F.col("deg")).alias("inflow"))
                 )
-                .agg(F.coalesce(F.sum("r"), F.lit(0.0)))
-                .collect()[0][0]
-            )
-            if prev is not None:
-                prev.unpersist()
-                prev = None
-            contrib = (
-                ranks.withColumnRenamed("node", "src")
-                .join(ew, "src")
-                .groupBy(F.col("dst").alias("node"))
-                .agg(F.sum(F.col("r") / F.col("deg")).alias("inflow"))
-            )
-            nxt = (
-                n.join(contrib, "node", "left")
-                .crossJoin(F.broadcast(nd))
-                .select(
+                ranks = n.join(contrib, "node", "left").select(
                     "node",
                     (
-                        F.lit(1.0 - damping) / F.col("n_nodes")
+                        base
+                        + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                    ).alias("r"),
+                )
+                if (it + 1) % checkpoint_every == 0 and (it + 1) < n_iter:
+                    store.overwrite("pr_ranks", ranks)
+                    ranks = store.read("pr_ranks", ranks.schema)
+                    store.expire_snapshots("pr_ranks", keep_last=2)
+        else:
+            cached = ranks.persist()
+            for it in range(n_iter):
+                # dangling mass: the ONE action per iteration — it
+                # materializes this generation's rank cache (referenced
+                # twice below), so the previous generation is droppable
+                # right after and no generation is ever recomputed
+                dangling = (
+                    cached.join(
+                        outdeg.withColumnRenamed("src", "node"),
+                        "node",
+                        "left_anti",
+                    )
+                    .agg(F.coalesce(F.sum("r"), F.lit(0.0)))
+                    .collect()[0][0]
+                )
+                if prev is not None:
+                    prev.unpersist()
+                    prev = None
+                contrib = (
+                    cached.withColumnRenamed("node", "src")
+                    .join(ew, "src")
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.sum(F.col("r") / F.col("deg")).alias("inflow"))
+                )
+                nxt = n.join(contrib, "node", "left").select(
+                    "node",
+                    (
+                        base
                         + F.lit(damping)
                         * (
                             F.coalesce("inflow", F.lit(0.0))
-                            + F.lit(float(dangling)) / F.col("n_nodes")
+                            + F.lit(float(dangling) / n_nodes)
                         )
                     ).alias("r"),
                 )
-            )
-            if (it + 1) % checkpoint_every == 0:
-                store.overwrite("pr_ranks", nxt)
-                nxt = store.read("pr_ranks", ranks.schema)
-                store.expire_snapshots("pr_ranks", keep_last=2)
-            prev, ranks = ranks, nxt.persist()
+                if (it + 1) % checkpoint_every == 0:
+                    store.overwrite("pr_ranks", nxt)
+                    nxt = store.read("pr_ranks", nxt.schema)
+                    store.expire_snapshots("pr_ranks", keep_last=2)
+                prev, cached = cached, nxt.persist()
+            # prev (the second-to-last generation) stays cached until
+            # the pr_result write below materializes the last one; the
+            # finally block releases it
+            ranks = cached
         out = ranks.select("node", F.round("r", 6).alias("pagerank"))
         # pin the result as its own versioned snapshot (the cc_labels
         # pattern): stable even if a later pagerank call on the same
@@ -445,7 +482,9 @@ def pagerank(
         return store.read("pr_result", out.schema, v)
     finally:
         ew.unpersist()
-        ranks.unpersist()
+        n.unpersist()
+        if cached is not None:
+            cached.unpersist()
         if prev is not None:
             prev.unpersist()
         if owns_store:
@@ -456,6 +495,7 @@ def pagerank(
 
 
 def hits(
+
     nodes: DataFrame,
     edges: DataFrame,
     n_iter: int = 10,
@@ -469,22 +509,32 @@ def hits(
     hyperlinked environment", JACM 1999): mutually-reinforcing hub and
     authority scores over a directed link graph.
 
-        a_t(v) = Σ_{(u,v)∈E} h_{t-1}(u)   then L2-normalize a_t
-        h_t(u) = Σ_{(u,v)∈E} a_t(v)       then L2-normalize h_t
+        a_t(v) = Σ_{(u,v)∈E} h_{t-1}(u)
+        h_t(u) = Σ_{(u,v)∈E} a_t(v)
+
+    L2 normalization is DEFERRED to the end: per-step normalization is
+    a pure scaling, so the final normalized vectors are identical (the
+    SQL oracle and the pure-Python test reference agree whichever side
+    of the algebra they compute).  That choice makes the whole loop ONE
+    lazy linear plan — per round just two equi-joins with the persisted
+    edge list and two grouped sums, no per-round action, no per-round
+    persist (every intermediate is referenced exactly once), no nested
+    InMemoryRelation (the formatted-plan-string blowup documented on
+    :func:`pagerank`), and a single Spark job at the final snapshot
+    write.  Raw scores grow ≤ (max_deg²)^rounds between checkpoints —
+    ~1e100 even for deg 10⁵ at the default 10 rounds, far inside
+    double range; for deep loops set ``checkpoint_every`` (each commit
+    is an action that truncates plan AND lineage) and keep
+    (max_deg²)^checkpoint_every within ~1e300.
 
     Scores stay SPARSE through the loop (only nodes with in-edges carry
     authority, only nodes with out-edges carry hub mass — identical in
     the SQL oracle); the final output left-joins the node set with
-    zeros.  Per half-step: ONE equi-join of the score vector with the
-    persisted edge list + ONE groupBy, and one scalar action (the L2
-    norm — also the cache barrier, so no generation recomputes).  Same
-    store/checkpoint contract as :func:`pagerank`: reliable snapshot
-    truncation, result pinned as a versioned ``hits_result`` snapshot,
-    plain-scan return plan.  Fixed iteration count keeps the result
-    deterministic and SQL-unrollable.
+    zeros.  Same store contract as :func:`pagerank`: process-temp
+    tmpfs store when none given, result pinned as a versioned
+    ``hits_result`` snapshot, plain-scan return plan.
     """
     import atexit
-    import math
     import os
 
     if n_iter < 1:
@@ -499,45 +549,41 @@ def hits(
         atexit.register(shutil.rmtree, store.root, ignore_errors=True)
     n = nodes.select(F.col(id_col).alias("node"))
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
-    # h_0 = 1 on every node WITH out-edges (sparse), L2-normalized
-    srcs = e.select(F.col("src").alias("node")).distinct()
-    n_src = srcs.count()
-    h = srcs.select("node", F.lit(1.0 / math.sqrt(max(n_src, 1))).alias("s")).persist()
-    live: list[DataFrame] = [h]
-
-    def _norm(df: DataFrame) -> float:
-        row = df.agg(F.sqrt(F.sum(F.col("s") * F.col("s")))).collect()[0][0]
-        return float(row) if row else 1.0
 
     def _step(scores: DataFrame, join_col: str, emit_col: str) -> DataFrame:
-        raw = (
+        return (
             scores.withColumnRenamed("node", join_col)
             .join(e, join_col)
             .groupBy(F.col(emit_col).alias("node"))
             .agg(F.sum("s").alias("s"))
-        ).persist()
-        live.append(raw)
-        z = _norm(raw)  # action: materializes raw, so its parent is droppable
-        return raw.select("node", (F.col("s") / F.lit(z)).alias("s"))
+        )
 
+    h = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(1.0).alias("s")
+    )
     try:
         for it in range(n_iter):
             a = _step(h, "src", "dst")      # authorities from hubs
             h = _step(a, "dst", "src")      # hubs from authorities
-            # both raws of this round are materialized; older rounds
-            # are droppable and never recomputed
-            while len(live) > 2:
-                live.pop(0).unpersist()
-            if (it + 1) % checkpoint_every == 0:
-                # truncate the CARRIED chain (h feeds every later
-                # round); a's lineage stays bounded by the cadence
+            if (it + 1) % checkpoint_every == 0 and (it + 1) < n_iter:
+                # reliable truncation point (also bounds raw-score
+                # growth ranges between commits); an action only here
                 store.overwrite("hits_h", h)
                 h = store.read("hits_h", h.schema)
                 store.expire_snapshots("hits_h", keep_last=2)
-            last_a = a
+                # `a` keeps its pre-commit lineage; it is reassigned on
+                # the next round, so only the carried `h` needs truncation
+        # normalize once, at the end: the norm scalars ride single-row
+        # broadcast cross joins, so even the final write is one job
+        a = a.crossJoin(
+            F.broadcast(a.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("za")))
+        ).select("node", (F.col("s") / F.col("za")).alias("authority"))
+        hn = h.crossJoin(
+            F.broadcast(h.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("zh")))
+        ).select("node", (F.col("s") / F.col("zh")).alias("hub"))
         out = (
-            n.join(last_a.withColumnRenamed("s", "authority"), "node", "left")
-            .join(h.withColumnRenamed("s", "hub"), "node", "left")
+            n.join(a, "node", "left")
+            .join(hn, "node", "left")
             .select(
                 "node",
                 F.round(F.coalesce("hub", F.lit(0.0)), 6).alias("hub"),
@@ -548,10 +594,7 @@ def hits(
         return store.read("hits_result", out.schema, v)
     finally:
         e.unpersist()
-        for df in live:
-            df.unpersist()
         if owns_store:
-            for scratch in ("hits_h",):
-                sdir = os.path.join(store.root, scratch)
-                if os.path.isdir(sdir):
-                    shutil.rmtree(sdir, ignore_errors=True)
+            sdir = os.path.join(store.root, "hits_h")
+            if os.path.isdir(sdir):
+                shutil.rmtree(sdir, ignore_errors=True)
