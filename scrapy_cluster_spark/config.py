@@ -90,6 +90,16 @@ class EngineConfig:
     # (parallel write); small ints keep file counts tiny for long test
     # crawls at the cost of a single-task serial write per append
     append_coalesce: int | None = None
+    # OPIC-style link-centrality scheduling (operators/rank_signal.py,
+    # opt-in — the reference has no analog): URL PageRank over the
+    # observed link graph refreshes every url_rank_every rounds
+    # (maintenance cadence, 0 = never) and children inherit
+    # round(weight × parent_rank) as an integer priority bump.  Rank
+    # buys ORDER within a domain's politeness budget, never extra hits.
+    use_url_rank: bool = False
+    url_rank_weight: float = 1000.0
+    url_rank_iters: int = 5
+    url_rank_every: int = 5
     # Heartbeat liveness TTL (s) — the reference spider self-reports
     # ``stats:crawler:<host>:<spider>:<uuid>`` with expiry
     # ip_update_interval*2 = 120 s (distributed_scheduler.py:310-320)

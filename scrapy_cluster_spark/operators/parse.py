@@ -129,24 +129,37 @@ _INHERITED = [
 ]
 
 
-def child_candidates(items: DataFrame) -> DataFrame:
+def child_candidates(items: DataFrame, rank_boost: DataFrame | None = None) -> DataFrame:
     """Successful fetches below their maxdepth → exploded child request
     rows with link filters applied.
 
     Input: assembled items still carrying frontier meta + links_full.
-    Output: request-shaped rows (source='spider')."""
+    Output: request-shaped rows (source='spider').
+
+    ``rank_boost`` (optional, (url, rank_boost int)): OPIC-style link
+    centrality (operators/rank_signal.py) — children add the boost of
+    the PARENT page that discovered them on top of the reference's
+    priority decay, so links found on important pages pop earlier
+    within the same politeness budget.  None (default) is the exact
+    reference semantics."""
     parents = items.filter(
         F.col("success") & (F.col("curdepth") < F.col("maxdepth"))
     )
+    boost = F.lit(0)
+    if rank_boost is not None:
+        parents = parents.join(rank_boost, "url", "left")
+        boost = F.coalesce("rank_boost", F.lit(0))
     kids = parents.select(
         *_INHERITED,
         F.col("priority"),
         F.col("curdepth"),
+        boost.alias("_boost"),
         F.explode("links_full").alias("link"),
     ).select(
         *_INHERITED,
-        # priority decay + depth bump (link_spider.py:68-69)
-        (F.col("priority") - F.lit(10)).alias("priority"),
+        # priority decay + depth bump (link_spider.py:68-69), plus the
+        # optional parent-centrality boost
+        (F.col("priority") - F.lit(10) + F.col("_boost")).alias("priority"),
         (F.col("curdepth") + F.lit(1)).alias("curdepth"),
         F.col("link.url").alias("url"),
     )

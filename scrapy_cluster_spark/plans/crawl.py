@@ -167,4 +167,10 @@ def run_crawl(
         if cfg.compact_every and r % cfg.compact_every == 0:
             compact_state(store, cfg)
             versions = last_lineage(store)["outputs"]
+        if cfg.use_url_rank and cfg.url_rank_every and r % cfg.url_rank_every == 0:
+            # maintenance-cadence refresh of the OPIC centrality signal
+            # (operators/rank_signal.py) — advisory, outside lineage
+            from scrapy_cluster_spark.operators.rank_signal import refresh_url_rank
+
+            refresh_url_rank(store, cfg)
     return results

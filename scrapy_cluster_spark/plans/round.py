@@ -37,6 +37,7 @@ from scrapy_cluster_spark.operators import (
     fetch,
     limits,
     parse,
+    rank_signal,
     ranking,
     robots,
     throttle,
@@ -326,7 +327,18 @@ def run_round(
             )
 
         # ---- discovered children + retries → enqueue filter chain
-        children = to_frontier_rows(parse.child_candidates(items), round_id, cfg, source="spider")
+        boost_df = None
+        if cfg.use_url_rank and store.exists("url_rank"):
+            # advisory signal, refreshed on the maintenance cadence —
+            # read current (like zk config hot-reload), not lineage-pinned
+            boost_df = rank_signal.rank_boost(
+                store.read("url_rank", rank_signal.URL_RANK_SCHEMA),
+                cfg.url_rank_weight,
+            )
+        children = to_frontier_rows(
+            parse.child_candidates(items, rank_boost=boost_df),
+            round_id, cfg, source="spider",
+        )
         children = robots.apply_robots(children, robots_rules).persist()
         blooms_df = (
             store.read("blooms", bloom.BLOOM_SCHEMA, pins["blooms"]) if cfg.use_bloom else None
