@@ -407,6 +407,14 @@ def q_bigram_xent(spark, sf):
     return L.bigram_xent(docs, k_smooth=0.5, handles=_LIVE_HANDLES)
 
 
+def q_length_quantiles(spark, sf):
+    """Per-source token-length percentiles (exact path, hash-oracled);
+    the approx sketch path is the 100 TB variant, pinned within rank
+    error by test."""
+    docs = _t(spark, sf, "documents")
+    return L.length_quantiles(docs)
+
+
 def q_tfidf_cosine_pairs(spark, sf):
     """Exact sparse TF-IDF cosine near-dup pairs — the lexical-weight
     counterpart to MinHash/Jaccard (set) and embedding cosine (dense);
@@ -780,6 +788,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": q_perplexity_buckets,
         "bigram_xent": q_bigram_xent,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "length_quantiles": q_length_quantiles,
         "bpe_merges": q_bpe_merges,
         "bpe_pair_counts": q_bpe_pair_counts,
         "pagerank_docs": q_pagerank_docs,
@@ -1101,6 +1110,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_docs": _pagerank_oracle(),
         "hits_docs": _hits_oracle(),
+        "length_quantiles": r"""
+            WITH lens AS (
+              SELECT source,
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS len
+              FROM documents
+            )
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   round(quantile_cont(len, 0.10), 6) AS p10,
+                   round(quantile_cont(len, 0.50), 6) AS p50,
+                   round(quantile_cont(len, 0.90), 6) AS p90,
+                   round(quantile_cont(len, 0.99), 6) AS p99
+            FROM lens GROUP BY source
+        """,
         "tfidf_cosine_pairs": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "bpe_merges",
     "bigram_xent",
     "tfidf_cosine_pairs",
+    "length_quantiles",
     "pagerank_docs",
     "hits_docs",
     "neardup_clusters",

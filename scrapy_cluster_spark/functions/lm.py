@@ -42,7 +42,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from scrapy_cluster_spark.functions.text import tokens
+from scrapy_cluster_spark.functions.text import token_count, tokens
 
 
 def doc_token_counts(
@@ -396,4 +396,47 @@ def tfidf_cosine_pairs(
         .groupBy("a", "b")
         .agg(F.round(F.sum(F.col("wa") * F.col("wb")), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def length_quantiles(
+    df: DataFrame,
+    probs: tuple = (0.1, 0.5, 0.9, 0.99),
+    text_col: str = "text",
+    group_col: str = "source",
+    approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group token-length percentiles — the thresholds a corpus
+    filter derives (cut below p10, flag above p99 per source/language).
+
+    ``approx=False`` (default): Spark's exact ``percentile`` — sorted
+    per-group interpolation, agg state O(distinct lengths per group);
+    right for profiling runs and hash-oracled against DuckDB's
+    ``quantile_cont`` (bit-identical interpolation, verified).
+    ``approx=True``: ``percentile_approx`` — the Greenwald-Khanna
+    sketch: bounded memory, MERGEABLE partial state (map-side combine
+    works), rank error ≤ 1/accuracy — the 100 TB path, pinned within
+    rank error of the exact answer by test rather than oracled.
+    """
+    lens = df.select(
+        F.col(group_col).alias(group_col),
+        token_count(text_col).cast("double").alias("len"),
+    )
+    plist = [float(p) for p in probs]
+    if approx:
+        q = F.percentile_approx("len", plist, accuracy)
+    else:
+        q = F.percentile("len", F.lit(plist))
+    return (
+        lens.groupBy(group_col)
+        .agg(F.count("*").alias("n_docs"), q.alias("qs"))
+        .select(
+            group_col,
+            "n_docs",
+            *[
+                F.round(F.element_at("qs", i + 1), 6).alias(f"p{int(p * 100)}")
+                for i, p in enumerate(plist)
+            ],
+        )
     )

@@ -45,6 +45,7 @@ KEY_QUERIES = [
     "pagerank_docs",
     "hits_docs",
     "tfidf_cosine_pairs",
+    "length_quantiles",
 ]
 
 

@@ -1413,3 +1413,36 @@ class TestTfidfCosine:
         loose = {(r.a, r.b)
                  for r in L.tfidf_cosine_pairs(df, threshold=0.05, max_df=6).collect()}
         assert len(loose) == 15          # all pairs now share 'the'
+
+
+class TestLengthQuantiles:
+    def test_exact_closed_form(self, spark):
+        from scrapy_cluster_spark.functions import lm as L
+
+        # group A lengths: 1..10 tokens; group B: constant 3
+        rows = [("A", " ".join(["w"] * n)) for n in range(1, 11)]
+        rows += [("B", "a b c")] * 4
+        df = spark.createDataFrame(rows, ["source", "text"])
+        got = {r.source: r for r in L.length_quantiles(df, probs=(0.5, 0.9)).collect()}
+        # exact interpolated percentile over 1..10: p50 = 5.5, p90 = 9.1
+        assert got["A"].n_docs == 10
+        assert got["A"].p50 == 5.5 and abs(got["A"].p90 - 9.1) < 1e-9
+        assert got["B"].p50 == got["B"].p90 == 3.0
+
+    def test_approx_within_rank_error_of_exact(self, spark):
+        """The sketch path (percentile_approx, the 100 TB variant) lands
+        within 1 rank of the exact answer at this accuracy — pinned so a
+        Spark upgrade can't silently degrade it."""
+        from scrapy_cluster_spark.functions import lm as L
+
+        rows = [("S", " ".join(["w"] * (1 + (i * 37) % 200))) for i in range(2000)]
+        df = spark.createDataFrame(rows, ["source", "text"])
+        exact = L.length_quantiles(df, probs=(0.1, 0.5, 0.99)).collect()[0]
+        approx = L.length_quantiles(df, probs=(0.1, 0.5, 0.99), approx=True).collect()[0]
+        lens = sorted((1 + (i * 37) % 200) for i in range(2000))
+        for p in ("p10", "p50", "p99"):
+            lo = max(0, int(0.998 * {"p10": 200, "p50": 1000, "p99": 1980}[p]) - 4)
+            hi = min(len(lens) - 1, {"p10": 200, "p50": 1000, "p99": 1980}[p] + 4)
+            assert lens[lo] <= approx[p] <= lens[hi], (p, approx[p])
+            # and the sketch can't drift far from exact in value terms
+            assert abs(approx[p] - exact[p]) <= 2.0, (p, approx[p], exact[p])
