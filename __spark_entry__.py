@@ -415,6 +415,14 @@ def q_length_quantiles(spark, sf):
     return L.length_quantiles(docs)
 
 
+def q_frequent_tokens(spark, sf):
+    """Corpus heavy hitters ≥ 0.5% of token mass: Misra-Gries candidate
+    sketch per partition (no vocabulary-sized shuffle) + exact verify —
+    output exactly equals the full-scan SQL answer."""
+    docs = _t(spark, sf, "documents")
+    return L.frequent_tokens(docs, theta=0.005)
+
+
 def q_tfidf_cosine_pairs(spark, sf):
     """Exact sparse TF-IDF cosine near-dup pairs — the lexical-weight
     counterpart to MinHash/Jaccard (set) and embedding cosine (dense);
@@ -789,6 +797,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_xent": q_bigram_xent,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "length_quantiles": q_length_quantiles,
+        "frequent_tokens": q_frequent_tokens,
         "bpe_merges": q_bpe_merges,
         "bpe_pair_counts": q_bpe_pair_counts,
         "pagerank_docs": q_pagerank_docs,
@@ -1110,6 +1119,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_docs": _pagerank_oracle(),
         "hits_docs": _hits_oracle(),
+        "frequent_tokens": r"""
+            WITH toks AS (
+              SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+              FROM documents
+            ), tt AS (
+              SELECT token FROM toks WHERE token <> ''
+            ), tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tt)
+            SELECT token, CAST(count(*) AS BIGINT) AS c
+            FROM tt CROSS JOIN tot
+            GROUP BY token, t
+            HAVING count(*) >= 0.005 * t
+        """,
         "length_quantiles": r"""
             WITH lens AS (
               SELECT source,

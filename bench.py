@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "bigram_xent",
     "tfidf_cosine_pairs",
     "length_quantiles",
+    "frequent_tokens",
     "pagerank_docs",
     "hits_docs",
     "neardup_clusters",

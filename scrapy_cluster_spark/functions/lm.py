@@ -440,3 +440,84 @@ def length_quantiles(
             ],
         )
     )
+
+
+def frequent_tokens(
+    df: DataFrame,
+    theta: float = 0.005,
+    text_col: str = "text",
+    k: int | None = None,
+) -> DataFrame:
+    """Corpus heavy hitters: every token with frequency ≥ θ·T (T = the
+    corpus token count), with its exact count — sketch-then-verify, the
+    same contract as the MinHash family (approximate candidates, exact
+    output, hash-oracled).
+
+    Phase 1 — Misra-Gries (Misra & Gries 1982) per partition via
+    ``mapInPandas``: k = ⌈1/θ⌉ counters per partition; an item absent
+    from a partition's summary has local count ≤ n_p/(k+1), so summed
+    over partitions anything absent EVERYWHERE has global count ≤
+    T/(k+1) < θ·T — the union of partition summaries is a guaranteed
+    superset of the answer at ≤ k·n_partitions candidates, with no
+    vocabulary-sized shuffle.
+    Phase 2 — exact verify: explode tokens, semi-join the broadcast
+    candidate set (the only rows that shuffle), count, keep ≥ θ·T.
+
+    At 100 TB the full vocabulary groupBy (what ``vocab`` does) shuffles
+    billions of (token, count) partials; this shuffles only candidate
+    occurrences — the classic reason frequent-item SKETCHES exist.
+    """
+    cands = mg_candidates(df, theta=theta, text_col=text_col, k=k)
+    toks = df.select(F.explode(tokens(text_col)).alias("token")).filter(
+        F.col("token") != ""
+    )
+    total = toks.agg(F.count("*").cast("bigint").alias("t"))
+    return (
+        toks.join(F.broadcast(cands), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("token", "t")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .filter(F.col("c") >= F.lit(theta) * F.col("t"))
+        .select("token", "c")
+    )
+
+
+def mg_candidates(
+    df: DataFrame,
+    theta: float = 0.005,
+    text_col: str = "text",
+    k: int | None = None,
+) -> DataFrame:
+    """Phase 1 of :func:`frequent_tokens`, exposed for testing and for
+    callers that want the raw candidate set: one Misra-Gries summary of
+    ≤ k = ⌈1/θ⌉ counters per partition, unioned distinct.  Guaranteed
+    superset of every token with global frequency ≥ θ·T."""
+    import math
+
+    import pandas as pd
+
+    k = k or max(1, math.ceil(1.0 / theta))
+
+    def _mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for text in pdf[text_col]:
+                if not text:
+                    continue
+                for t in text.split():
+                    if t in counters:
+                        counters[t] += 1
+                    elif len(counters) < k:
+                        counters[t] = 1
+                    else:
+                        # decrement-all step; drop zeros
+                        dead = []
+                        for key in counters:
+                            counters[key] -= 1
+                            if counters[key] == 0:
+                                dead.append(key)
+                        for key in dead:
+                            del counters[key]
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    return df.select(text_col).mapInPandas(_mg, "token string").distinct()

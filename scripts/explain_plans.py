@@ -46,6 +46,7 @@ KEY_QUERIES = [
     "hits_docs",
     "tfidf_cosine_pairs",
     "length_quantiles",
+    "frequent_tokens",
 ]
 
 

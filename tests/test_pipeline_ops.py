@@ -1446,3 +1446,59 @@ class TestLengthQuantiles:
             assert lens[lo] <= approx[p] <= lens[hi], (p, approx[p])
             # and the sketch can't drift far from exact in value terms
             assert abs(approx[p] - exact[p]) <= 2.0, (p, approx[p], exact[p])
+
+
+class TestFrequentTokens:
+    def test_equals_exact_answer_any_partitioning(self, spark):
+        """Sketch-then-verify contract: the OUTPUT is exactly the
+        full-scan answer — the Misra-Gries phase only prunes candidates
+        (guaranteed superset), so partitioning cannot change results."""
+        from collections import Counter
+
+        from scrapy_cluster_spark.functions import lm as L
+
+        words = []
+        for i in range(400):
+            words.append(f"common{i % 3}")          # 3 heavy tokens
+            words.append(f"rare{i}")                # long tail
+        texts = [" ".join(words[i::20]) for i in range(20)]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        counts = Counter(w for t in texts for w in t.split())
+        total = sum(counts.values())
+        theta = 0.05
+        want = {w: c for w, c in counts.items() if c >= theta * total}
+        for parts in (1, 7):
+            got = {
+                r.token: r.c
+                for r in L.frequent_tokens(
+                    df.repartition(parts), theta=theta
+                ).collect()
+            }
+            assert got == want and want  # non-trivial and exact
+
+    def test_candidate_set_is_bounded_superset(self, spark):
+        """The sketch phase emits ≤ k·n_partitions candidates and never
+        misses a true heavy hitter (the Misra-Gries guarantee summed
+        across partitions)."""
+        import math
+        from collections import Counter
+
+        from scrapy_cluster_spark.functions import lm as L
+
+        texts = [" ".join(f"w{(i * j) % 50}" for j in range(200)) for i in range(40)]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        ).repartition(4)
+        theta = 0.02
+        k = math.ceil(1 / theta)
+        counts = Counter(w for t in texts for w in t.split())
+        total = sum(counts.values())
+        want = {w for w, c in counts.items() if c >= theta * total}
+        cands = {r.token for r in L.mg_candidates(df, theta=theta).collect()}
+        n_parts = df.rdd.getNumPartitions()
+        assert want <= cands                 # never misses a heavy hitter
+        assert len(cands) <= k * n_parts     # bounded sketch output
+        got = {r.token for r in L.frequent_tokens(df, theta=theta).collect()}
+        assert got == want                   # verify phase trims to exact
