@@ -740,6 +740,34 @@ def q_ivf_ann_topk(spark, sf):
 # Contract
 # ---------------------------------------------------------------------------
 
+def q_pq_ann_topk(spark, sf):
+    """Product-quantization ANN (Jégou et al. TPAMI'11): the memory-
+    compression path — 64 floats → 16 sub-centroid codes (16×), ADC
+    scan over codes + exact rerank.  The trained quantizer's codes and
+    per-query lookup tables are shared with DuckDB via side parquets;
+    the ADC join + candidate cut + rerank is hash-checked in both
+    engines.  Recall vs brute force pinned by test."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    m, k_codes = 16, 32
+
+    def _books():
+        return V.train_pq_codebooks(corpus, m=m, k=k_codes)
+
+    codes = _side_parquet(
+        spark, _side_path("pq_codes", sf),
+        lambda: V.pq_codes(corpus, _books()),
+    )
+    tables = _side_parquet(
+        spark, _side_path("pq_tables", sf),
+        lambda: V.pq_adc_tables(queries, _books()),
+    )
+    return V.pq_topk_from_codes(codes, tables, queries, corpus, k=5, rerank=64)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_schedule_round_analog(spark, "/root/testdata/sf0.001")
@@ -814,6 +842,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_clusters": q_embedding_clusters,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "pq_ann_topk": q_pq_ann_topk,
     }
 
 
@@ -1664,6 +1693,40 @@ def oracle_sql() -> dict[str, str]:
               FROM probes p JOIN assigns a USING (cell)
               JOIN q ON q.q_id = p.q_id JOIN c ON c.c_id = a.c_id
               WHERE p.q_id <> a.c_id
+            )
+            SELECT q_id, c_id, cos, rank
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM scored)
+            WHERE rank <= 5
+        """,
+        "pq_ann_topk": f"""
+            WITH codes AS (
+              SELECT * FROM read_parquet('{_side_path("pq_codes", "sf0.01")}/*.parquet')
+            ),
+            tables AS (
+              SELECT * FROM read_parquet('{_side_path("pq_tables", "sf0.01")}/*.parquet')
+            ),
+            adc AS (
+              SELECT t.q_id, c.c_id, round(sum(t.part), 6) AS adc
+              FROM codes c JOIN tables t ON c.sub = t.sub AND c.code = t.code
+              WHERE t.q_id <> c.c_id
+              GROUP BY 1, 2
+            ),
+            cand AS (
+              SELECT q_id, c_id FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY q_id ORDER BY adc DESC, c_id) AS cr FROM adc)
+              WHERE cr <= 64
+            ),
+            q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id < 5),
+            c2 AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
+            scored AS (
+              SELECT cand.q_id, cand.c_id,
+                     round(list_dot_product(qv, cv)
+                           / (sqrt(list_dot_product(qv, qv))
+                              * sqrt(list_dot_product(cv, cv))), 4) AS cos
+              FROM cand JOIN q USING (q_id) JOIN c2 USING (c_id)
             )
             SELECT q_id, c_id, cos, rank
             FROM (SELECT *, ROW_NUMBER() OVER (

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "embedding_clusters",
     "cosine_topk",
     "ivf_ann_topk",
+    "pq_ann_topk",
 ]
 
 CRAWL_DOMAINS = 500

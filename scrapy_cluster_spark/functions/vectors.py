@@ -524,3 +524,179 @@ def lsh_ann_topk(
     qk = multitable_keys(queries, id_q, vec_q, planes_per_table, n_tables)
     ck = multitable_keys(corpus, id_c, vec_c, planes_per_table, n_tables)
     return ann_topk_from_keys(qk, ck, queries, corpus, k, id_q, id_c, vec_q, vec_c)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze & Schmid, "Product quantization for
+# nearest neighbor search", TPAMI 2011) — the memory-compression ANN path:
+# a d-dim float vector becomes m uint8 codes (16x-64x smaller), and query
+# scoring reads codes + a per-query lookup table instead of raw vectors.
+# Complements the candidate-pruning paths (hyperplane LSH, IVF): at 10^9+
+# vectors the corpus no longer fits storage/cache as floats, and
+# production systems combine them (IVF-PQ).  Asymmetric distance (ADC):
+# score(q, c) = Σ_s table_q[s][code_c[s]], table_q[s][j] = q_s · B[s][j].
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "c_vec",
+    id_col: str = "c_id",
+    m: int = 8,
+    k: int = 16,
+    iters: int = 5,
+    sample: int = 2048,
+    seed: int = 11,
+) -> np.ndarray:
+    """(m, k, d/m) sub-quantizer codebooks: Lloyd's k-means per subspace
+    on a BOUNDED deterministic sample (lowest ids) — the same driver
+    memory contract as ``train_ivf_centroids``: O(sample × dim)
+    regardless of corpus size.  Vectors are L2-normalized first so the
+    ADC dot-product sum approximates cosine."""
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    X = np.asarray([r[1] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    kk = min(k, len(X))
+    books = np.zeros((m, kk, dsub))
+    for s in range(m):
+        Xs = X[:, s * dsub:(s + 1) * dsub]
+        C = Xs[rng.choice(len(Xs), size=kk, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for j in range(kk):
+                members = Xs[a == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+        books[s] = C
+    return books
+
+
+def pq_codes(
+    corpus: DataFrame,
+    books: np.ndarray,
+    vec_col: str = "c_vec",
+    id_col: str = "c_id",
+) -> DataFrame:
+    """(c_id, sub, code): each corpus vector encoded as m nearest
+    sub-centroid ids — pre-exploded one row per subspace so both the
+    Spark ADC join and the SQL oracle consume the same shape.  Arrow
+    pandas UDF, numpy-vectorized per batch."""
+    m, kk, dsub = books.shape
+    B = books  # closure copy
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        V = np.asarray(list(vecs), dtype=np.float64)
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        out = np.empty((len(V), m), dtype=np.int32)
+        for s in range(m):
+            Vs = V[:, s * dsub:(s + 1) * dsub]
+            d2 = ((Vs[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+            out[:, s] = np.argmin(d2, axis=1)
+        return pd.Series(list(out))
+
+    return corpus.select(
+        id_col, F.posexplode(encode(F.col(vec_col))).alias("sub", "code")
+    )
+
+
+def pq_adc_tables(
+    queries: DataFrame,
+    books: np.ndarray,
+    vec_q: str = "q_vec",
+    id_q: str = "q_id",
+) -> DataFrame:
+    """(q_id, sub, code, part): the per-query ADC lookup table —
+    part = q_s · B[s][code].  Queries are few by contract (they
+    broadcast everywhere in this module), so the table is built
+    driver-side from a bounded collect: m × k rows per query."""
+    rows = queries.select(id_q, vec_q).collect()
+    m, kk, dsub = books.shape
+    out = []
+    for r in rows:
+        q = np.asarray(r[1], dtype=np.float64)
+        q /= max(np.linalg.norm(q), 1e-12)
+        for s in range(m):
+            parts = books[s] @ q[s * dsub:(s + 1) * dsub]
+            out.extend(
+                (r[0], s, j, float(parts[j])) for j in range(kk)
+            )
+    spark = queries.sparkSession
+    return spark.createDataFrame(out, f"{id_q} bigint, sub int, code int, part double")
+
+
+def pq_topk_from_codes(
+    codes: DataFrame,
+    tables: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    rerank: int = 32,
+    id_q: str = "q_id",
+    id_c: str = "c_id",
+    vec_q: str = "q_vec",
+    vec_c: str = "c_vec",
+) -> DataFrame:
+    """Deterministic half of :func:`pq_ann_topk` (the side-parquet
+    hash-check boundary): join codes with the broadcast ADC tables on
+    (sub, code), sum the m partials per (q, c) — a scan of CODES, the
+    raw vectors never move — take the top ``rerank`` candidates per
+    query by rounded ADC score, then exact-cosine rerank only those.
+    Ties break on ids; ADC rounded to 6dp so the candidate cut is
+    engine-stable."""
+    from pyspark.sql import Window
+
+    adc = (
+        codes.join(F.broadcast(tables), ["sub", "code"])
+        .groupBy(id_q, id_c)
+        .agg(F.round(F.sum("part"), 6).alias("adc"))
+        .filter(F.col(id_q) != F.col(id_c))
+    )
+    wc = Window.partitionBy(id_q).orderBy(F.desc("adc"), F.asc(id_c))
+    cand = adc.withColumn("crank", F.row_number().over(wc)).filter(
+        F.col("crank") <= rerank
+    )
+    scored = (
+        cand.join(F.broadcast(queries), id_q)
+        .join(corpus, id_c)
+        .withColumn("cos", cosine(vec_q, vec_c))
+    )
+    w = Window.partitionBy(id_q).orderBy(F.desc("cos"), F.asc(id_c))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_q, id_c, "cos", "rank")
+    )
+
+
+def pq_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    k: int = 5,
+    rerank: int = 32,
+    id_q: str = "q_id",
+    id_c: str = "c_id",
+    vec_q: str = "q_vec",
+    vec_c: str = "c_vec",
+) -> DataFrame:
+    """PQ ANN end-to-end: train sub-quantizers (bounded sample), encode
+    the corpus (m small ints per vector — the 16-64x memory-compression
+    path), ADC-score every code row against the broadcast query tables,
+    exact-rerank the top candidates.  Recall vs brute force is pinned
+    by test; at production scale compose with IVF cells (scan only
+    probed cells' codes) — both halves exist in this module."""
+    books = train_pq_codebooks(corpus, vec_c, id_c, m=m, k=k_codes)
+    codes = pq_codes(corpus, books, vec_c, id_c)
+    tables = pq_adc_tables(queries, books, vec_q, id_q)
+    return pq_topk_from_codes(
+        codes, tables, queries, corpus, k=k, rerank=rerank,
+        id_q=id_q, id_c=id_c, vec_q=vec_q, vec_c=vec_c,
+    )

@@ -47,6 +47,7 @@ KEY_QUERIES = [
     "tfidf_cosine_pairs",
     "length_quantiles",
     "frequent_tokens",
+    "pq_ann_topk",
 ]
 
 
