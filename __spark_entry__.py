@@ -768,6 +768,50 @@ def q_pq_ann_topk(spark, sf):
     return V.pq_topk_from_codes(codes, tables, queries, corpus, k=5, rerank=64)
 
 
+def q_ivfpq_ann_topk(spark, sf):
+    """IVF-PQ (the Faiss production default): IVF prunes WHICH codes
+    each query scans (nprobe=8 of 16 cells), PQ compresses WHAT is
+    scanned.  All quantizer outputs (cells, codes, ADC tables) ride
+    side parquets; the cell-restricted ADC join + cut + rerank is
+    hash-checked in both engines."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    m, k_codes = 16, 32
+
+    def _books():
+        return V.train_pq_codebooks(corpus, m=m, k=k_codes)
+
+    def _cells():
+        assigns, probes = V.ivf_cells(queries, corpus, n_centroids=16, nprobe=8)
+        return assigns.select(
+            F.col("c_id").alias("vec_id"), F.lit("assign").alias("kind"), "cell"
+        ).unionByName(
+            probes.select(
+                F.col("q_id").alias("vec_id"), F.lit("probe").alias("kind"), "cell"
+            )
+        )
+
+    codes = _side_parquet(
+        spark, _side_path("pq_codes", sf), lambda: V.pq_codes(corpus, _books())
+    )
+    tables = _side_parquet(
+        spark, _side_path("pq_tables", sf), lambda: V.pq_adc_tables(queries, _books())
+    )
+    cells = _side_parquet(spark, _side_path("ivfpq_cells", sf), _cells)
+    assigns = cells.filter(F.col("kind") == "assign").select(
+        F.col("vec_id").alias("c_id"), "cell"
+    )
+    probes = cells.filter(F.col("kind") == "probe").select(
+        F.col("vec_id").alias("q_id"), "cell"
+    )
+    return V.ivfpq_topk_from_parts(
+        codes, tables, assigns, probes, queries, corpus, k=5, rerank=64
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_schedule_round_analog(spark, "/root/testdata/sf0.001")
@@ -843,6 +887,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "pq_ann_topk": q_pq_ann_topk,
+        "ivfpq_ann_topk": q_ivfpq_ann_topk,
     }
 
 
@@ -1709,6 +1754,49 @@ def oracle_sql() -> dict[str, str]:
             adc AS (
               SELECT t.q_id, c.c_id, round(sum(t.part), 6) AS adc
               FROM codes c JOIN tables t ON c.sub = t.sub AND c.code = t.code
+              WHERE t.q_id <> c.c_id
+              GROUP BY 1, 2
+            ),
+            cand AS (
+              SELECT q_id, c_id FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY q_id ORDER BY adc DESC, c_id) AS cr FROM adc)
+              WHERE cr <= 64
+            ),
+            q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id < 5),
+            c2 AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
+            scored AS (
+              SELECT cand.q_id, cand.c_id,
+                     round(list_dot_product(qv, cv)
+                           / (sqrt(list_dot_product(qv, qv))
+                              * sqrt(list_dot_product(cv, cv))), 4) AS cos
+              FROM cand JOIN q USING (q_id) JOIN c2 USING (c_id)
+            )
+            SELECT q_id, c_id, cos, rank
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM scored)
+            WHERE rank <= 5
+        """,
+        "ivfpq_ann_topk": f"""
+            WITH codes AS (
+              SELECT * FROM read_parquet('{_side_path("pq_codes", "sf0.01")}/*.parquet')
+            ),
+            tables AS (
+              SELECT * FROM read_parquet('{_side_path("pq_tables", "sf0.01")}/*.parquet')
+            ),
+            cells AS (
+              SELECT * FROM read_parquet('{_side_path("ivfpq_cells", "sf0.01")}/*.parquet')
+            ),
+            assigns AS (SELECT vec_id AS c_id, cell FROM cells WHERE kind = 'assign'),
+            probes AS (SELECT vec_id AS q_id, cell FROM cells WHERE kind = 'probe'),
+            adc AS (
+              SELECT t.q_id, c.c_id, round(sum(t.part), 6) AS adc
+              FROM codes c
+              JOIN assigns a ON a.c_id = c.c_id
+              JOIN probes p ON p.cell = a.cell
+              JOIN tables t ON t.q_id = p.q_id
+                           AND t.sub = c.sub AND t.code = c.code
               WHERE t.q_id <> c.c_id
               GROUP BY 1, 2
             ),

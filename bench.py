@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "cosine_topk",
     "ivf_ann_topk",
     "pq_ann_topk",
+    "ivfpq_ann_topk",
 ]
 
 CRAWL_DOMAINS = 500

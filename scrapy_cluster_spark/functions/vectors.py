@@ -650,14 +650,21 @@ def pq_topk_from_codes(
     query by rounded ADC score, then exact-cosine rerank only those.
     Ties break on ids; ADC rounded to 6dp so the candidate cut is
     engine-stable."""
-    from pyspark.sql import Window
-
     adc = (
         codes.join(F.broadcast(tables), ["sub", "code"])
         .groupBy(id_q, id_c)
         .agg(F.round(F.sum("part"), 6).alias("adc"))
         .filter(F.col(id_q) != F.col(id_c))
     )
+    return _rerank_from_adc(adc, queries, corpus, k, rerank, id_q, id_c, vec_q, vec_c)
+
+
+def _rerank_from_adc(adc, queries, corpus, k, rerank, id_q, id_c, vec_q, vec_c):
+    """Shared tail of the PQ paths: cut the rounded-ADC top ``rerank``
+    per query (ties on ids — engine-stable), exact-cosine rerank only
+    those rows, emit per-query top-k."""
+    from pyspark.sql import Window
+
     wc = Window.partitionBy(id_q).orderBy(F.desc("adc"), F.asc(id_c))
     cand = adc.withColumn("crank", F.row_number().over(wc)).filter(
         F.col("crank") <= rerank
@@ -699,4 +706,69 @@ def pq_ann_topk(
     return pq_topk_from_codes(
         codes, tables, queries, corpus, k=k, rerank=rerank,
         id_q=id_q, id_c=id_c, vec_q=vec_q, vec_c=vec_c,
+    )
+
+
+def ivfpq_topk_from_parts(
+    codes: DataFrame,
+    tables: DataFrame,
+    assigns: DataFrame,
+    probes: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    rerank: int = 32,
+    id_q: str = "q_id",
+    id_c: str = "c_id",
+    vec_q: str = "q_vec",
+    vec_c: str = "c_vec",
+) -> DataFrame:
+    """Deterministic half of :func:`ivfpq_ann_topk`: the ADC scan is
+    RESTRICTED to probed cells — codes join their vector's cell
+    assignment, then the broadcast probe list, then the ADC tables, so
+    each query scores only nprobe/n_centroids of the code rows (the
+    IVF-PQ scan reduction).  Each corpus vector lives in exactly one
+    cell, so a (q, c) pair appears at most once.  Tail shared with the
+    flat-PQ path (rounded-ADC cut + exact rerank)."""
+    adc = (
+        codes.join(assigns, id_c)
+        .join(F.broadcast(probes), "cell")
+        .join(F.broadcast(tables), [id_q, "sub", "code"])
+        .filter(F.col(id_q) != F.col(id_c))
+        .groupBy(id_q, id_c)
+        .agg(F.round(F.sum("part"), 6).alias("adc"))
+    )
+    return _rerank_from_adc(adc, queries, corpus, k, rerank, id_q, id_c, vec_q, vec_c)
+
+
+def ivfpq_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    k: int = 5,
+    rerank: int = 32,
+    id_q: str = "q_id",
+    id_c: str = "c_id",
+    vec_q: str = "q_vec",
+    vec_c: str = "c_vec",
+) -> DataFrame:
+    """IVF-PQ (the Faiss production default): the IVF coarse quantizer
+    prunes WHICH codes each query scans (nprobe of n_centroids cells),
+    PQ compresses WHAT is scanned (m codes per vector) — at 10⁹+
+    vectors neither half suffices alone.  Both quantizers train on the
+    bounded deterministic sample; recall vs brute force pinned by
+    test."""
+    assigns, probes = ivf_cells(
+        queries, corpus, n_centroids=n_centroids, nprobe=nprobe,
+        id_q=id_q, id_c=id_c, vec_q=vec_q, vec_c=vec_c,
+    )
+    books = train_pq_codebooks(corpus, vec_c, id_c, m=m, k=k_codes)
+    codes = pq_codes(corpus, books, vec_c, id_c)
+    tables = pq_adc_tables(queries, books, vec_q, id_q)
+    return ivfpq_topk_from_parts(
+        codes, tables, assigns, probes, queries, corpus,
+        k=k, rerank=rerank, id_q=id_q, id_c=id_c, vec_q=vec_q, vec_c=vec_c,
     )

@@ -48,6 +48,7 @@ KEY_QUERIES = [
     "length_quantiles",
     "frequent_tokens",
     "pq_ann_topk",
+    "ivfpq_ann_topk",
 ]
 
 
