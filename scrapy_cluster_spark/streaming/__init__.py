@@ -5,6 +5,7 @@ from scrapy_cluster_spark.streaming.requests_stream import (  # noqa: F401
 )
 from scrapy_cluster_spark.streaming.corpus_stream import (  # noqa: F401
     stream_dedup_ingest,
+    stream_frequent_tokens,
     stream_source_health,
     stream_user_sessions,
 )

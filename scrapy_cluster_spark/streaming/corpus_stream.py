@@ -230,3 +230,109 @@ def stream_user_sessions(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _spacesaving_fn(k: int):
+    """Per-shard SpaceSaving (Metwally, Agrawal & El Abbadi, ICDT'05)
+    update: k counters (token → count, err); an unseen token evicts
+    the minimum counter and inherits its count as its error bound.
+    Guarantees per shard (tokens hash to exactly ONE shard, so they
+    are global per token): true ≤ count, count − err ≤ true, and any
+    token with true count > shard_mass/k is always present."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (shard,) = key
+        if state.exists:
+            toks, counts, errs = state.get
+            counters = {t: [c, e] for t, c, e in zip(toks, counts, errs)}
+        else:
+            counters = {}
+        for pdf in pdfs:
+            # batch-local pre-aggregation, then deterministic order
+            # (count desc, token asc) so eviction ties are stable
+            vc = pdf["token"].value_counts()
+            for tok in sorted(vc.index, key=lambda t: (-vc[t], t)):
+                c = int(vc[tok])
+                if tok in counters:
+                    counters[tok][0] += c
+                elif len(counters) < k:
+                    counters[tok] = [c, 0]
+                else:
+                    evict = min(counters, key=lambda t: (counters[t][0], t))
+                    mc = counters[evict][0]
+                    del counters[evict]
+                    # inherits the evicted count as the error bound
+                    counters[tok] = [mc + c, mc]
+        items = sorted(counters.items())
+        state.update((
+            [t for t, _ in items],
+            [v[0] for _, v in items],
+            [v[1] for _, v in items],
+        ))
+        yield pd.DataFrame(
+            {
+                "shard": shard,
+                "token": [t for t, _ in items],
+                "count": [v[0] for _, v in items],
+                "err": [v[1] for _, v in items],
+            }
+        )
+
+    return fn
+
+
+def stream_frequent_tokens(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    on_batch=None,
+    k: int = 64,
+    n_shards: int = 8,
+):
+    """Streaming heavy hitters over the live document feed: the
+    streaming twin of ``functions.lm.frequent_tokens``.  The batch op
+    can verify candidates exactly after the fact; a stream cannot
+    re-count history, so the streaming side carries SpaceSaving's
+    (count, err) bounds instead: emitted counts OVERESTIMATE truth by
+    at most ``err``, never underestimate, and any token above
+    shard_mass/k is guaranteed present.
+
+    State is sharded by token hash (``pmod(xxhash64(token), n_shards)``)
+    — each token lives in exactly one shard, so per-token bounds are
+    global, state is ≤ k counters × n_shards regardless of vocabulary
+    size, and update parallelism scales with shards (the single-key
+    stateful-op bottleneck the throttle gate does not have is real
+    here).  Each trigger emits every shard's current summary (update
+    semantics — consumers take the latest row per token; counts are
+    nondecreasing).  Restart-safe through the streaming checkpoint."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = spark.readStream.schema(DOC_EVENT_SCHEMA).json(docs_dir)
+    toks = (
+        stream.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .withColumn("shard", F.pmod(F.xxhash64("token"), F.lit(n_shards)).cast("int"))
+    )
+    summary = toks.groupBy("shard").applyInPandasWithState(
+        _spacesaving_fn(k),
+        outputStructType="shard int, token string, count long, err long",
+        stateStructType="tokens array<string>, counts array<long>, errs array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def handle(batch_df, batch_id: int) -> None:
+        if on_batch is not None:
+            on_batch(batch_df.collect())
+
+    return (
+        summary.writeStream.outputMode("update")
+        .foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -423,3 +423,67 @@ def test_stream_user_sessions_matches_batch(spark):
         e = expect[k]
         assert (r["session_last_us"], r["n_events"], r["total_value"]) == (
             e.session_last_us, e.n_events, e.total_value)
+
+
+def test_stream_frequent_tokens_bounds_and_restart(spark):
+    """Streaming SpaceSaving heavy hitters: across micro-batches AND a
+    checkpoint restart, emitted counts never underestimate truth,
+    overestimate by at most their err bound, and every token above the
+    per-shard guarantee threshold is present in the final summary."""
+    import json
+    import os
+    import tempfile
+    from collections import Counter
+
+    from scrapy_cluster_spark.streaming import stream_frequent_tokens
+
+    tmp = tempfile.mkdtemp(prefix="scs-hh-")
+    docs_dir = os.path.join(tmp, "docs")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(docs_dir)
+
+    def feed(name, texts):
+        with open(os.path.join(docs_dir, name), "w") as f:
+            for i, t in enumerate(texts):
+                f.write(json.dumps({
+                    "ts": "2024-01-01T00:00:01", "doc_id": i,
+                    "source": "s", "text": t,
+                }) + "\n")
+
+    # heavy tokens + a long tail that overflows k per shard
+    heavy = ["hot0"] * 120 + ["hot1"] * 80
+    tail = [f"t{i}" for i in range(300)]
+    b1 = " ".join(heavy[:100] + tail[:150])
+    b2 = " ".join(heavy[100:] + tail[150:])
+    all_tokens = Counter((b1 + " " + b2).split())
+
+    k, n_shards = 8, 4
+    emitted: dict = {}
+
+    def collect(rows):
+        for r in rows:
+            # r["count"]: Row.count is the tuple method, not the column
+            emitted[r.token] = (r["count"], r["err"])  # latest wins
+
+    feed("b1.json", [b1])
+    q = stream_frequent_tokens(spark, docs_dir, ckpt, on_batch=collect,
+                               k=k, n_shards=n_shards)
+    q.awaitTermination(120)
+    # restart from the checkpoint for the second batch (state survives)
+    feed("b2.json", [b2])
+    q2 = stream_frequent_tokens(spark, docs_dir, ckpt, on_batch=collect,
+                                k=k, n_shards=n_shards)
+    q2.awaitTermination(120)
+
+    assert emitted
+    for tok, (cnt, err) in emitted.items():
+        true = all_tokens[tok]
+        assert cnt >= true, (tok, cnt, true)            # never underestimates
+        assert cnt - err <= true, (tok, cnt, err, true)  # bounded overestimate
+    # the heavy tokens dominate any shard's mass/k → guaranteed present
+    assert "hot0" in emitted and "hot1" in emitted
+    # hot0 entered an EMPTY shard in batch 1 (processed count-desc) and
+    # was never evicted → exact with err 0; hot1 arrived in batch 2
+    # after its shard filled, so it may carry an inherited err bound —
+    # the (already-asserted) count/err bounds are its contract
+    assert emitted["hot0"] == (all_tokens["hot0"], 0)
