@@ -753,9 +753,13 @@ def q_pq_ann_topk(spark, sf):
     )
     corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
     m, k_codes = 16, 32
+    _cache: list = []
 
     def _books():
-        return V.train_pq_codebooks(corpus, m=m, k=k_codes)
+        # memoized: both side-parquet builders may fire on a cold cache
+        if not _cache:
+            _cache.append(V.train_pq_codebooks(corpus, m=m, k=k_codes))
+        return _cache[0]
 
     codes = _side_parquet(
         spark, _side_path("pq_codes", sf),
@@ -780,9 +784,13 @@ def q_ivfpq_ann_topk(spark, sf):
     )
     corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
     m, k_codes = 16, 32
+    _cache: list = []
 
     def _books():
-        return V.train_pq_codebooks(corpus, m=m, k=k_codes)
+        # memoized: both side-parquet builders may fire on a cold cache
+        if not _cache:
+            _cache.append(V.train_pq_codebooks(corpus, m=m, k=k_codes))
+        return _cache[0]
 
     def _cells():
         assigns, probes = V.ivf_cells(queries, corpus, n_centroids=16, nprobe=8)

@@ -94,10 +94,12 @@ class EngineConfig:
     # opt-in — the reference has no analog): URL PageRank over the
     # observed link graph refreshes every url_rank_every rounds
     # (maintenance cadence, 0 = never) and children inherit
-    # round(weight × parent_rank) as an integer priority bump.  Rank
-    # buys ORDER within a domain's politeness budget, never extra hits.
+    # round(weight × parent_rank/uniform) as an integer priority bump —
+    # scale-free: an average-centrality parent boosts ≈ weight, a k×
+    # hub ≈ k·weight, regardless of graph size.  Rank buys ORDER within
+    # a domain's politeness budget, never extra hits.
     use_url_rank: bool = False
-    url_rank_weight: float = 1000.0
+    url_rank_weight: float = 10.0
     url_rank_iters: int = 5
     url_rank_every: int = 5
     # Heartbeat liveness TTL (s) — the reference spider self-reports

@@ -142,23 +142,12 @@ def train_bpe(
     ``DataFrame.unpersist``, so they leak past the repo's
     release_caches lifecycle (they show up as leaked storage in the
     bench's between-rep assertions)."""
-    import atexit
-    import os
     import shutil
-    import tempfile
 
-    from ..store import SnapshotStore
+    from ..store import scratch_store
 
     spark = df.sparkSession
     owns_store = store is None
-
-    def _scratch_store():
-        scratch_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
-        st = SnapshotStore(
-            spark, tempfile.mkdtemp(prefix="scs-bpe-", dir=scratch_root)
-        )
-        atexit.register(shutil.rmtree, st.root, ignore_errors=True)
-        return st
 
     syms = _initial_symbols(word_table(df, text_col)).persist()
     prev = None
@@ -187,7 +176,7 @@ def train_bpe(
             nxt = syms.withColumn("syms", _merge_udf(left, right)("syms"))
             if (rank + 1) % checkpoint_every == 0:
                 if store is None:
-                    store = _scratch_store()
+                    store = scratch_store(spark, "scs-bpe-")
                 store.overwrite("bpe_syms", nxt)
                 nxt = store.read("bpe_syms", syms.schema)
                 store.expire_snapshots("bpe_syms", keep_last=2)

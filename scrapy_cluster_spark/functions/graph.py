@@ -45,7 +45,7 @@ import warnings
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..store import SnapshotStore
+from ..store import SnapshotStore, scratch_store
 
 
 def _canonical_edges(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
@@ -121,20 +121,9 @@ def connected_components(
     spark = vertices.sparkSession
     owns_store = store is None
     if owns_store:
-        # tmpfs scratch when available: per-round snapshot commits on the
-        # ext4 /tmp disk suffer writeback interference (2-3x swings —
-        # BENCH/BASELINE.md noise protocol); production passes a durable
-        # `store` instead
-        import os
-
-        scratch_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
-        store = SnapshotStore(spark, tempfile.mkdtemp(prefix="scs-cc-", dir=scratch_root))
         # the final label snapshot must outlive this call (the returned
-        # plan reads it), so the scratch dir can only be reclaimed at
-        # process exit — without this, repeated CC calls leak tmpfs RAM
-        import atexit
-
-        atexit.register(shutil.rmtree, store.root, ignore_errors=True)
+        # plan reads it); scratch_store's atexit hook reclaims it
+        store = scratch_store(spark, "scs-cc-")
     if algorithm == "star":
         labels, rounds, converged = _cc_star(
             spark, edges, src_col, dst_col, max_iter, store,
@@ -381,7 +370,6 @@ def pagerank(
     keeps the result deterministic and lets the SQL oracle unroll the
     same k rounds.
     """
-    import atexit
     import os
 
     if n_iter < 1:
@@ -389,27 +377,24 @@ def pagerank(
     spark = nodes.sparkSession
     owns_store = store is None
     if owns_store:
-        scratch_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
-        store = SnapshotStore(
-            spark, tempfile.mkdtemp(prefix="scs-pr-", dir=scratch_root)
-        )
-        # the pinned result must outlive this call; reclaim at exit
-        atexit.register(shutil.rmtree, store.root, ignore_errors=True)
+        # the pinned result must outlive this call (the returned plan
+        # reads it); the scratch_store atexit hook reclaims it
+        store = scratch_store(spark, "scs-pr-")
     n = nodes.select(F.col(id_col).alias("node")).persist()
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
     ew = e.join(outdeg, "src").persist()
-    n_nodes = float(n.count())  # also materializes n's cache
-    if n_nodes == 0:
-        raise ValueError("pagerank needs a non-empty node set")
-    no_dangling = n.join(
-        outdeg.withColumnRenamed("src", "node"), "node", "left_anti"
-    ).isEmpty()
-    base = F.lit((1.0 - damping) / n_nodes)
-    ranks = n.select("node", F.lit(1.0 / n_nodes).alias("r"))
     cached = None
     prev = None
     try:
+        n_nodes = float(n.count())  # also materializes n's cache
+        if n_nodes == 0:
+            raise ValueError("pagerank needs a non-empty node set")
+        no_dangling = n.join(
+            outdeg.withColumnRenamed("src", "node"), "node", "left_anti"
+        ).isEmpty()
+        base = F.lit((1.0 - damping) / n_nodes)
+        ranks = n.select("node", F.lit(1.0 / n_nodes).alias("r"))
         if no_dangling:
             for it in range(n_iter):
                 contrib = (
@@ -465,7 +450,9 @@ def pagerank(
                         )
                     ).alias("r"),
                 )
-                if (it + 1) % checkpoint_every == 0:
+                if (it + 1) % checkpoint_every == 0 and (it + 1) < n_iter:
+                    # final-round commit skipped: pr_result below is
+                    # about to write the same table anyway
                     store.overwrite("pr_ranks", nxt)
                     nxt = store.read("pr_ranks", nxt.schema)
                     store.expire_snapshots("pr_ranks", keep_last=2)
@@ -534,7 +521,6 @@ def hits(
     tmpfs store when none given, result pinned as a versioned
     ``hits_result`` snapshot, plain-scan return plan.
     """
-    import atexit
     import os
 
     if n_iter < 1:
@@ -542,11 +528,7 @@ def hits(
     spark = nodes.sparkSession
     owns_store = store is None
     if owns_store:
-        scratch_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
-        store = SnapshotStore(
-            spark, tempfile.mkdtemp(prefix="scs-hits-", dir=scratch_root)
-        )
-        atexit.register(shutil.rmtree, store.root, ignore_errors=True)
+        store = scratch_store(spark, "scs-hits-")
     n = nodes.select(F.col(id_col).alias("node"))
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
 

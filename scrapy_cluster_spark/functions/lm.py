@@ -493,10 +493,17 @@ def mg_candidates(
     ≤ k = ⌈1/θ⌉ counters per partition, unioned distinct.  Guaranteed
     superset of every token with global frequency ≥ θ·T."""
     import math
+    import re
 
     import pandas as pd
 
     k = k or max(1, math.ceil(1.0 / theta))
+    # tokenize EXACTLY like the verify phase (functions.text.tokens =
+    # Java regex \s+, ASCII-only): Python str.split() also splits on
+    # Unicode whitespace (U+00A0, U+2009, ...), which would shred a
+    # token the JVM side keeps whole — the sketch would then never
+    # nominate it and the guaranteed-superset contract would break
+    ws = re.compile(r"\s+", re.ASCII)
 
     def _mg(batches):
         counters: dict = {}
@@ -504,7 +511,9 @@ def mg_candidates(
             for text in pdf[text_col]:
                 if not text:
                     continue
-                for t in text.split():
+                for t in ws.split(text.strip()):
+                    if not t:
+                        continue
                     if t in counters:
                         counters[t] += 1
                     elif len(counters) < k:

@@ -628,7 +628,10 @@ def pq_adc_tables(
                 (r[0], s, j, float(parts[j])) for j in range(kk)
             )
     spark = queries.sparkSession
-    return spark.createDataFrame(out, f"{id_q} bigint, sub int, code int, part double")
+    id_type = queries.schema[id_q].dataType.simpleString()
+    return spark.createDataFrame(
+        out, f"{id_q} {id_type}, sub int, code int, part double"
+    )
 
 
 def pq_topk_from_codes(

@@ -48,11 +48,22 @@ URL_RANK_SCHEMA = StructType(
 
 def refresh_url_rank(store: SnapshotStore, cfg: EngineConfig = DEFAULT_CONFIG) -> int:
     """Recompute URL PageRank from the crawled link graph and commit it
-    as the ``url_rank`` snapshot.  Returns the committed version.
+    as the ``url_rank`` snapshot.  Returns the committed version — the
+    EXISTING version unchanged when the crawl has observed no links yet
+    (failed seed round, link-free pages): an advisory maintenance
+    refresh must never abort the crawl loop.
 
     Nodes = crawled URLs ∪ discovered link targets (so fresh frontier
     URLs already carry a rank when their turn comes); edges = observed
-    (page → link) pairs, deduplicated, self-loops dropped."""
+    (page → link) pairs, deduplicated, self-loops dropped.  The rank
+    loop runs in an explicit scratch store that is deleted as soon as
+    the result is copied into the durable ``url_rank`` table — a
+    per-refresh atexit-only temp would accumulate one tmpfs copy per
+    refresh over a long crawl."""
+    import shutil
+
+    from ..store import scratch_store
+
     crawled = store.read("crawled", CRAWLED_SCHEMA).filter(F.col("success"))
     edges = (
         crawled.select(F.col("url").alias("src"), F.explode("links").alias("l"))
@@ -60,22 +71,37 @@ def refresh_url_rank(store: SnapshotStore, cfg: EngineConfig = DEFAULT_CONFIG) -
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+    if edges.isEmpty():
+        return store.current_version("url_rank")
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    pr = pagerank(nodes, edges, n_iter=cfg.url_rank_iters)
-    return store.overwrite(
-        "url_rank", pr.select(F.col("node").alias("url"), "pagerank")
-    )
+    scratch = scratch_store(store.spark, "scs-urlrank-")
+    try:
+        pr = pagerank(nodes, edges, n_iter=cfg.url_rank_iters, store=scratch)
+        return store.overwrite(
+            "url_rank", pr.select(F.col("node").alias("url"), "pagerank")
+        )
+    finally:
+        # the overwrite materialized the copy; the scratch is dead
+        shutil.rmtree(scratch.root, ignore_errors=True)
 
 
 def rank_boost(url_rank: DataFrame, weight: float) -> DataFrame:
     """(url, rank_boost): the rank table as the integer priority bump a
-    parent page passes to the children it discovers.  Integer so the
-    frontier priority stays an int and the pop tiebreak stays exact."""
-    return url_rank.select(
+    parent page passes to the children it discovers.  The boost is
+    SCALE-FREE: ``round(weight × rank/uniform)`` where uniform = 1/N —
+    a page at exactly average centrality boosts by ~``weight``, a k×
+    hub by ~k·weight, on a 10³- or 10⁹-URL graph alike (raw rank
+    values shrink as 1/N, so an unnormalized boost would round to 0 at
+    exactly the scales the signal targets).  Integer so the frontier
+    priority stays an int and the pop tiebreak stays exact."""
+    n = url_rank.agg(F.count("*").cast("double").alias("n_ranked"))
+    return url_rank.crossJoin(F.broadcast(n)).select(
         "url",
-        F.round(F.col("pagerank") * F.lit(weight)).cast("int").alias("rank_boost"),
+        F.round(F.col("pagerank") * F.col("n_ranked") * F.lit(weight))
+        .cast("int")
+        .alias("rank_boost"),
     )

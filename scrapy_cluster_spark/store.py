@@ -411,3 +411,23 @@ class SnapshotStore:
                     if f not in live and os.path.exists(f):
                         os.remove(f)
                 os.remove(os.path.join(mdir, fn))
+
+
+def scratch_store(spark: SparkSession, prefix: str) -> "SnapshotStore":
+    """Process-temp SnapshotStore for iterative-loop checkpoints: tmpfs
+    when available (per-round commits on the sandbox's ext4 disk suffer
+    2-3x writeback noise; production passes a durable store instead),
+    reclaimed at process exit.  Callers whose results are COPIED out of
+    the scratch (rather than lazily read from it) should
+    ``shutil.rmtree(store.root)`` themselves as soon as the copy is
+    committed — the atexit hook is the backstop for returned lazy
+    readers, not a license to accumulate tmpfs for the process
+    lifetime."""
+    import atexit
+    import shutil
+    import tempfile
+
+    root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    st = SnapshotStore(spark, tempfile.mkdtemp(prefix=prefix, dir=root))
+    atexit.register(shutil.rmtree, st.root, ignore_errors=True)
+    return st

@@ -1503,6 +1503,21 @@ class TestFrequentTokens:
         got = {r.token for r in L.frequent_tokens(df, theta=theta).collect()}
         assert got == want                   # verify phase trims to exact
 
+    def test_unicode_whitespace_tokenization_parity(self, spark):
+        """Spark's \\s+ split is ASCII-only; the sketch phase must
+        tokenize identically or a token containing U+00A0 would be
+        shredded Python-side, never nominated, and silently dropped
+        from the exact answer (the superset contract would break)."""
+        from scrapy_cluster_spark.functions import lm as L
+
+        glued = "foo bar"                # ONE token to the JVM
+        texts = [f"{glued} x{i} y{i}" for i in range(30)]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        ).repartition(3)
+        got = {r.token: r.c for r in L.frequent_tokens(df, theta=0.2).collect()}
+        assert got == {glued: 30}
+
 
 class TestPQ:
     @pytest.fixture(scope="class")

@@ -44,12 +44,28 @@ class TestRefreshUrlRank:
         assert set(got) == {"http://site1.com/A", "http://site1.com/B", "http://site1.com/C"}
         assert got["http://site1.com/C"] > got["http://site1.com/B"] > got["http://site1.com/A"]
 
-    def test_boost_is_integer_and_scales(self, spark):
-        rank = spark.createDataFrame(
+    def test_boost_is_scale_free(self, spark):
+        """boost = round(weight × rank/uniform): an average page boosts
+        ≈ weight on a 4-node and a 4000-node graph alike (raw ranks
+        shrink as 1/N — unnormalized they'd round to 0 at scale)."""
+        small = spark.createDataFrame(
             [("u1", 0.5), ("u2", 0.001)], ["url", "pagerank"]
         )
-        got = {r.url: r.rank_boost for r in rank_signal.rank_boost(rank, 100.0).collect()}
-        assert got == {"u1": 50, "u2": 0}
+        got = {r.url: r.rank_boost for r in rank_signal.rank_boost(small, 100.0).collect()}
+        assert got == {"u1": 100, "u2": 0}  # 0.5 = 1x uniform of N=2
+        big = spark.createDataFrame(
+            [(f"u{i}", 1.0 / 4000) for i in range(4000)], ["url", "pagerank"]
+        )
+        vals = {r.rank_boost for r in rank_signal.rank_boost(big, 100.0).collect()}
+        assert vals == {100}  # uniform rank → weight, independent of N
+
+    def test_empty_link_graph_is_a_noop(self, spark, store):
+        """A refresh before any links were observed must not abort the
+        crawl loop — it returns the existing (absent ⇒ 0) version."""
+        rows = [_crawled_row("http://site1.com/A", [], success=False)]
+        store.overwrite("crawled", spark.createDataFrame(rows, CRAWLED_SCHEMA))
+        assert rank_signal.refresh_url_rank(store, CFG) == 0
+        assert not store.exists("url_rank")
 
 
 class TestChildBoost:
