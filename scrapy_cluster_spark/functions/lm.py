@@ -256,15 +256,21 @@ def bigram_table(counts_input: DataFrame, text_col: str = "text",
     come from a transform over the token array (guarded: <2 tokens ⇒
     no pairs; Spark's sequence(1, 0) DESCENDS) — no positional
     self-join."""
-    w = tokens(text_col)
-    pairs = F.when(F.size(w) < 2, F.array().cast("array<struct<w1:string,w2:string>>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 1),
-            lambda i: F.struct(
-                F.element_at(w, i).alias("w1"),
-                F.element_at(w, i + 1).alias("w2"),
-            ),
-        )
+    from scrapy_cluster_spark.functions.text import let_bound
+
+    # let-bind the token array + capture-free shifted-zip pair build:
+    # element_at(w, i) inside a per-element lambda otherwise re-runs
+    # the split PER PAIR — O(len²)/row (round-6, see text.let_bound)
+    pairs = let_bound(
+        tokens(text_col),
+        lambda w: F.when(
+            F.size(w) < 2, F.array().cast("array<struct<w1:string,w2:string>>")
+        ).otherwise(
+            F.arrays_zip(
+                F.slice(w, 1, F.size(w) - 1).alias("w1"),
+                F.slice(w, 2, F.size(w) - 1).alias("w2"),
+            ).cast("array<struct<w1:string,w2:string>>")
+        ),
     )
     return (
         counts_input.select(F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p"))

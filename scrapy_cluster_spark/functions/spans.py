@@ -51,14 +51,16 @@ def gram_postings(
     position.  Docs shorter than k tokens emit nothing (the sequence()
     guard mirrors word_shingles' — Spark's sequence DESCENDS when the
     stop is below the start)."""
-    w = tokens(text_col)
-    grams = F.when(
-        F.size(w) < k, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(w, i, k)),
-        )
+    from scrapy_cluster_spark.functions.text import let_bound, shifted_grams
+
+    # let-bind the token array + capture-free shifted-zip gram build:
+    # slice(w, i, k) inside a per-element lambda otherwise re-runs the
+    # split PER GRAM — O(len²)/row (round-6, see text.let_bound)
+    grams = let_bound(
+        tokens(text_col),
+        lambda w: F.when(
+            F.size(w) < k, F.array().cast("array<string>")
+        ).otherwise(shifted_grams(w, k)),
     )
     return docs.select(
         F.col(id_col).alias("id"), F.posexplode(grams).alias("pos0", "gram")

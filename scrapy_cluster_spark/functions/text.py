@@ -45,19 +45,54 @@ def token_count(text: str | Column = "text") -> Column:
     return F.size(tokens(text))
 
 
+def let_bound(arr: Column, body) -> Column:
+    """Evaluate ``arr`` ONCE and bind it as a lambda variable inside
+    ``body``: higher-order functions are CodegenFallback (interpreted),
+    and a per-element lambda that references the outer array expression
+    (``element_at(w, i)``, ``slice(w, i, k)``) re-evaluates that whole
+    expression PER ELEMENT — O(len²) per row when ``arr`` is the token
+    split.  ``transform(array(x), a -> body(a))[0]`` binds the computed
+    value instead, making every inner reference a slot read (the
+    round-5 ngram_repetition fix, generalized in round 6 to every
+    gram/shingle/pair builder).
+
+    CONSTRAINT: ``body`` must not build a NESTED lambda that captures
+    the outer lambda variable — e.g. ``transform(seq, i -> slice(a, i,
+    k))`` inside ``body(a)``.  Spark 4.1's Python-UDF extraction
+    mis-canonicalizes cross-lambda captures when the expression is a
+    UDF argument duplicated across plan branches (leaves a raw
+    PythonUDF in an InterpretedUnsafeProjection → INTERNAL_ERROR).
+    Use the shifted-``arrays_zip`` shape instead (see
+    :func:`shifted_grams`): the inner lambda then references only its
+    own struct variable."""
+    return F.transform(F.array(arr), body)[0]
+
+
+def shifted_grams(a: Column, k: int) -> Column:
+    """All k-grams of an ALREADY-BOUND token array ``a`` as
+    array<string> (space-joined), via arrays_zip of k shifted slices —
+    the capture-free gram shape (see :func:`let_bound`): zip element j
+    is struct(w[j], w[j+1], …, w[j+k−1]), and the concat lambda touches
+    only its own struct variable.  One O(len) pass per row instead of
+    the O(len²) slice-per-element build.  Caller guards len < k."""
+    n = F.size(a)
+    zipped = F.arrays_zip(*[F.slice(a, j + 1, n - (k - 1)) for j in range(k)])
+    return F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)])
+    )
+
+
 def word_shingles(text: str | Column = "text", k: int = 3) -> Column:
     """Distinct k-word shingles as an array<string>.
 
-    Guarded for <k tokens: Spark's sequence(1, 0) DESCENDS ([1, 0]),
-    unlike DuckDB's empty generate_series — the when() keeps parity."""
-    w = tokens(text)
-    return F.when(F.size(w) < k, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - (k - 1)),
-                lambda i: F.concat_ws(" ", F.slice(w, i, k)),
-            )
-        )
+    Guarded for <k tokens: Spark's sequence-style gram builders DESCEND
+    for short docs, unlike DuckDB's empty generate_series — the when()
+    keeps parity."""
+    return let_bound(
+        tokens(text),
+        lambda w: F.when(F.size(w) < k, F.array().cast("array<string>")).otherwise(
+            F.array_distinct(shifted_grams(w, k))
+        ),
     )
 
 
@@ -116,13 +151,14 @@ def doc_fingerprint(text: str | Column = "text") -> Column:
 
 def word_ngrams(text: str | Column = "text", k: int = 3) -> Column:
     """ALL word k-grams in order (with repeats — unlike word_shingles'
-    distinct set); empty for <k tokens (same sequence guard)."""
-    w = tokens(text)
-    return F.when(F.size(w) < k, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(w, i, k)),
-        )
+    distinct set); empty for <k tokens (same guard).  Token array
+    let-bound + capture-free zip build: split and gram pass are each
+    O(len) per row (see :func:`let_bound` / :func:`shifted_grams`)."""
+    return let_bound(
+        tokens(text),
+        lambda w: F.when(F.size(w) < k, F.array().cast("array<string>")).otherwise(
+            shifted_grams(w, k)
+        ),
     )
 
 

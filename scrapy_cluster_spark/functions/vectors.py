@@ -231,6 +231,118 @@ def lsh_candidate_pairs(
     )
 
 
+# Dispatch bound for neardup_pairs_lsh: with T tables of b planes, a
+# RANDOM pair (cos ≈ 0, collision prob 1/2 per plane) becomes a
+# candidate with probability ≈ 1 − (1 − 2^−b)^T ≤ T·2^−b.  When that
+# expected fraction is above this bound, the "sub-quadratic" candidate
+# join is effectively an all-pairs plan wearing a shuffle+distinct
+# costume (at θ=0.45 the derived sizing lands at T·2^−b ≈ 0.5 — HALF of
+# C(n,2) flows through the distinct), and the dense block-matrix plan
+# computes the same answer with a ~100× smaller per-pair constant.
+# Above the bound → blocked-exact; below it (production thresholds
+# ≥0.9, or corpora big enough that the derived plane count prunes) the
+# LSH candidates→verify plan stays.
+_BLOCKED_DISPATCH_FRACTION = 0.05
+
+
+def neardup_pairs_blocked(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    decimals: int = 4,
+    n_hint: int | None = None,
+    rows_per_block: int = 1024,
+) -> DataFrame:
+    """All (a<b) pairs with cosine ≥ threshold — exact, via block-matrix
+    BLAS (no LSH): vectors are hashed into B ≈ n/rows_per_block blocks,
+    every block pair (gi ≤ gj) becomes one task whose members arrive
+    via an equi-join-shaped shuffle, and the task scores its L×R tile
+    with one float64 GEMM, emitting only qualifying pairs.
+
+    Same output as the all-pairs cross join / the LSH candidates→verify
+    plan; the physical shape is:
+
+      block-id tag (xxhash64 — deterministic, guide §2.5) →
+      ≤(B/2+1)-way replicate of each (id, vec) row →
+      one shuffle on (gi, gj) → per-tile GEMM in Arrow batches →
+      qualifying (a, b, cos) rows only.
+
+    No driver collect, no broadcast of the corpus, per-task memory
+    O(rows_per_block² + rows_per_block·dim).  Work is Θ(n²·dim) flops —
+    which is EXACTLY what any exact low-threshold pair search pays once
+    the LSH collision bound stops pruning (see
+    ``_BLOCKED_DISPATCH_FRACTION``) — but as dense GEMM instead of a
+    quadratic shuffle + distinct + interpreted per-pair cosine."""
+    import math
+
+    n = n_hint if n_hint is not None else emb.count()
+    B = max(1, min(4096, math.ceil(max(n, 1) / rows_per_block)))
+    id_type = emb.schema[id_col].dataType.simpleString()
+    base = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("_g"),
+    ).filter(F.col("_v").isNotNull())
+    # row in block g participates: as L in tiles (g, h≥g); as R in
+    # tiles (f<g, g).  Diagonal tiles carry L rows only (upper triangle
+    # inside the task), so each unordered pair is scored exactly once.
+    lrows = base.select(
+        F.col("_g").alias("gi"),
+        F.explode(F.sequence(F.col("_g"), F.lit(B - 1))).alias("gj"),
+        F.lit(1).alias("_l"),
+        "_id",
+        "_v",
+    )
+    rrows = base.filter(F.col("_g") > 0).select(
+        F.explode(F.sequence(F.lit(0), F.col("_g") - 1)).alias("gi"),
+        F.col("_g").alias("gj"),
+        F.lit(0).alias("_l"),
+        "_id",
+        "_v",
+    )
+    thr = float(threshold)
+    dec = int(decimals)
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        lm = pdf["_l"].to_numpy() == 1
+        lp, rp = pdf[lm], pdf[~lm]
+        diag = rp.empty
+        ids_l = lp["_id"].to_numpy()
+        X = np.asarray(list(lp["_v"]), dtype=np.float64)
+        if diag:
+            ids_r, Y = ids_l, X
+        else:
+            ids_r = rp["_id"].to_numpy()
+            Y = np.asarray(list(rp["_v"]), dtype=np.float64)
+        if len(X) == 0 or len(Y) == 0:
+            return pd.DataFrame({"a": ids_l[:0], "b": ids_l[:0],
+                                 "cos": np.zeros(0)})
+        # cos = dot / (||x||·||y||), matching cosine()'s algebra; 4-dp
+        # rounding absorbs the GEMM-vs-left-fold summation-order ulps
+        nl = np.sqrt((X * X).sum(axis=1))
+        nr = nl if diag else np.sqrt((Y * Y).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.round((X @ Y.T) / np.outer(nl, nr), dec)
+        # Spark NaN ordering: NaN compares greater than any double, so
+        # `cos >= thr` admits NaN — mirror it (zero-norm degenerates)
+        hit = (cos >= thr) | np.isnan(cos)
+        if diag:
+            hit &= np.triu(np.ones_like(hit, dtype=bool), k=1)
+        ii, jj = np.nonzero(hit)
+        ia, ib = ids_l[ii], ids_r[jj]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        keep = lo != hi
+        return pd.DataFrame({"a": lo[keep], "b": hi[keep],
+                             "cos": cos[ii, jj][keep]})
+
+    return (
+        lrows.unionByName(rrows)
+        .groupBy("gi", "gj")
+        .applyInPandas(score, schema=f"a {id_type}, b {id_type}, cos double")
+    )
+
+
 def neardup_pairs_lsh(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -257,7 +369,25 @@ def neardup_pairs_lsh(
     threshold.  At 10⁹ vectors the cross join is 10¹⁸ pairs; this is
     Σ_tables Σ_buckets C(|bucket|,2) ≈ tables·n·target_bucket/2.
     Pass ``n_hint`` when the caller already knows the corpus size (skips
-    a count job)."""
+    a count job).
+
+    Round-6 dispatch: when the DERIVED sizing cannot keep the expected
+    random-pair candidate fraction T·2^−planes under
+    ``_BLOCKED_DISPATCH_FRACTION`` (low thresholds — at θ=0.45 the
+    collision-recall bound wants ~1.2k tables and the capped 256 still
+    admit ~half of all pairs as candidates), candidate generation is
+    effectively quadratic and the plan routes to
+    :func:`neardup_pairs_blocked` — identical output (equality pinned by
+    tests and the DuckDB oracle), ~100× smaller per-pair constant.
+    Caller-pinned (planes, tables) always run the LSH plan."""
+    if planes_per_table is None and n_tables is None:
+        n = n_hint if n_hint is not None else emb.count()
+        planes, tables = derive_lsh_params(n, threshold)
+        if tables * (0.5 ** planes) >= _BLOCKED_DISPATCH_FRACTION:
+            return neardup_pairs_blocked(
+                emb, id_col, vec_col, threshold, decimals, n_hint=n
+            )
+        n_hint = n
     cand = lsh_candidate_pairs(
         emb, id_col, vec_col, planes_per_table, n_tables, threshold,
         n_hint, max_bucket_rows, handles,

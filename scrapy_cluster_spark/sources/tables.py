@@ -8,6 +8,9 @@ Column pruning + predicate pushdown reach the scan automatically
 
 from __future__ import annotations
 
+import glob
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TESTDATA_TABLES = [
@@ -23,9 +26,58 @@ TESTDATA_TABLES = [
     "embeddings",
 ]
 
+# (path, mtime) → (row_groups, rows): footer probe is pure metadata, a
+# few KB per file; cached so repeated load_table calls (bench reps, the
+# driver's 50-query sweep) stat the footer once.
+_FOOTER_CACHE: dict = {}
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+def _splittable_units(path: str) -> tuple[int, int]:
+    """(total row groups, total rows) across the parquet file(s) at
+    ``path`` — a parquet scan task cannot split BELOW a row group, so
+    this is the table's maximum scan parallelism no matter what
+    ``spark.sql.files.maxPartitionBytes`` says."""
+    files = [path] if os.path.isfile(path) else glob.glob(
+        os.path.join(path, "*.parquet")
+    )
+    rgs = rows = 0
+    for f in files:
+        key = (f, os.path.getmtime(f))
+        if key not in _FOOTER_CACHE:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(f).metadata
+            _FOOTER_CACHE[key] = (md.num_row_groups, md.num_rows)
+        r, n = _FOOTER_CACHE[key]
+        rgs += r
+        rows += n
+    return rgs, rows
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = True
+) -> DataFrame:
+    """Parquet scan, with scan parallelism derived from the file's
+    actual splittable structure (round-6, guide §6): the testdata
+    parquets are written as ONE row group, so every document/event scan
+    ran as a single task regardless of core count — 1/32 of the box for
+    the expression-heavy text queries.  When the row-group count is
+    below the cluster's parallelism and the table is big enough for the
+    exchange to pay for itself, a round-robin repartition spreads rows
+    across cores; the shuffled bytes are just the (small, compressed-
+    source) table, orders of magnitude below the per-row compute it
+    unlocks.  On a production table with hundreds of row groups per
+    file the probe finds rgs ≥ parallelism and this is a no-op."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread:
+        p = spark.sparkContext.defaultParallelism
+        try:
+            rgs, rows = _splittable_units(f"{sf_dir}/{name}.parquet")
+        except Exception:
+            rgs, rows = 0, 0
+        if 0 < rgs < p and rows >= 32 * p:
+            df = df.repartition(p)
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:

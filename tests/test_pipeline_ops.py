@@ -226,6 +226,39 @@ class TestVectors:
         lsh = {(r.a, r.b, r.cos) for r in V.neardup_pairs_lsh(emb).collect()}
         assert lsh == brute and len(brute) > 0
 
+    def test_neardup_blocked_equals_lsh_plan(self, spark):
+        """Round-6: the block-matrix exact path returns EXACTLY the same
+        pairs (ids AND rounded cosines) as the LSH candidates→verify
+        plan on the real test corpus, and the low-threshold derived
+        sizing dispatches to it (T·2^−planes ≥ the dispatch fraction)
+        while a production threshold (0.9) keeps the LSH plan."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        # force the legacy LSH plan by pinning the derived params
+        planes, tables = V.derive_lsh_params(500, 0.45)
+        legacy = {
+            (r.a, r.b, r.cos)
+            for r in V.neardup_pairs_lsh(
+                emb, planes_per_table=planes, n_tables=tables
+            ).collect()
+        }
+        blocked = {
+            (r.a, r.b, r.cos)
+            for r in V.neardup_pairs_blocked(emb, threshold=0.45).collect()
+        }
+        assert blocked == legacy and len(blocked) > 0
+        # multi-block tiling must not change the answer
+        small_blocks = {
+            (r.a, r.b, r.cos)
+            for r in V.neardup_pairs_blocked(
+                emb, threshold=0.45, rows_per_block=64
+            ).collect()
+        }
+        assert small_blocks == blocked
+        # dispatch boundary: low threshold → blocked; 0.9 → LSH stays
+        assert tables * 0.5 ** planes >= V._BLOCKED_DISPATCH_FRACTION
+        p9, t9 = V.derive_lsh_params(10_000_000, 0.9)
+        assert t9 * 0.5 ** p9 < V._BLOCKED_DISPATCH_FRACTION
+
     def test_lsh_ann_subset_of_corpus(self, spark, emb):
         q = emb.filter("vec_id < 2").select(
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
