@@ -543,6 +543,7 @@ def hits(
     h = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.lit(1.0).alias("s")
     )
+    final_caches: list = []
     try:
         for it in range(n_iter):
             a = _step(h, "src", "dst")      # authorities from hubs
@@ -555,16 +556,27 @@ def hits(
                 store.expire_snapshots("hits_h", keep_last=2)
                 # `a` keeps its pre-commit lineage; it is reassigned on
                 # the next round, so only the carried `h` needs truncation
+        # persist the final raw score vectors BEFORE normalization
+        # (round-6): the deferred-norm output references `a` twice (the
+        # za scalar + the scores) and `h` twice, and h's plan CONTAINS
+        # a's — without a cache the final job re-evaluated the whole
+        # k-round join chain 4x (measured 10-45 s at sf1.0, the
+        # variance scaling with the recomputes; ~4 s after).  Both
+        # caches release in the finally block once the result snapshot
+        # is written.
+        a = a.persist()
+        h = h.persist()
+        final_caches.extend((a, h))
         # normalize once, at the end: the norm scalars ride single-row
         # broadcast cross joins, so even the final write is one job
-        a = a.crossJoin(
+        an = a.crossJoin(
             F.broadcast(a.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("za")))
         ).select("node", (F.col("s") / F.col("za")).alias("authority"))
         hn = h.crossJoin(
             F.broadcast(h.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("zh")))
         ).select("node", (F.col("s") / F.col("zh")).alias("hub"))
         out = (
-            n.join(a, "node", "left")
+            n.join(an, "node", "left")
             .join(hn, "node", "left")
             .select(
                 "node",
@@ -576,6 +588,11 @@ def hits(
         return store.read("hits_result", out.schema, v)
     finally:
         e.unpersist()
+        for cached in final_caches:
+            try:
+                cached.unpersist()
+            except Exception:
+                pass
         if owns_store:
             sdir = os.path.join(store.root, "hits_h")
             if os.path.isdir(sdir):
