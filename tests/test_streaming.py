@@ -301,6 +301,48 @@ def test_corpus_stream_dedup_and_parity(spark, store):
     assert sorted(r.doc_id for r in landed.collect()) == [1, 3, 5]
 
 
+def test_corpus_stream_lands_without_driver_collect(spark, store):
+    """Round-6 (round-5 verdict #2): with no ``on_batch`` test hook the
+    ingest handler must land survivors through the DISTRIBUTED
+    ``store.append`` path — never by collecting full document text to
+    the driver.  Enforced by making ``DataFrame.collect`` raise for the
+    duration of the stream."""
+    import json
+    import os
+    import tempfile
+
+    from pyspark.sql import DataFrame
+
+    from scrapy_cluster_spark.streaming import stream_dedup_ingest
+    from scrapy_cluster_spark.streaming.corpus_stream import CORPUS_LANDED_SCHEMA
+
+    tmp = tempfile.mkdtemp(prefix="scs-corpus-nc-")
+    docs_dir = os.path.join(tmp, "docs")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(docs_dir)
+    with open(os.path.join(docs_dir, "b1.json"), "w") as f:
+        for ts, did, text in [
+            ("2024-01-01T00:00:10", 1, "alpha text body one two three"),
+            ("2024-01-01T00:00:20", 2, "beta text body four five six"),
+        ]:
+            f.write(json.dumps(
+                {"ts": ts, "doc_id": did, "source": "s", "text": text}) + "\n")
+
+    real_collect = DataFrame.collect
+
+    def no_collect(self):
+        raise AssertionError("driver collect in streaming ingest handler")
+
+    DataFrame.collect = no_collect
+    try:
+        q = stream_dedup_ingest(spark, docs_dir, ckpt, store=store)
+        q.awaitTermination(120)
+    finally:
+        DataFrame.collect = real_collect
+    landed = store.read("corpus", CORPUS_LANDED_SCHEMA)
+    assert sorted(r.doc_id for r in landed.collect()) == [1, 2]
+
+
 def test_corpus_stream_source_health(spark):
     """Per-source rolling health windows: append mode emits a closed
     (window, source) row once, with counts/volume/mean quality equal to
