@@ -52,15 +52,50 @@ def doc_token_counts(
 
     Documents with zero tokens (empty/whitespace text) contribute no
     rows — downstream scores are defined over docs with ≥1 token.
-    """
-    return (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(tokens(text_col)).alias("token"),
-        )
-        .filter(F.col("token") != "")
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("c"))
+
+    Round-6 plan (guide §2.3, aggregate before you shuffle): the
+    original ``explode → groupBy(doc_id, token)`` shuffled ~12M token
+    rows at sf1.0 on a key so fine-grained that map-side combine barely
+    collapsed anything.  A document lives in ONE row, so its token
+    counts need no shuffle at all — one Arrow ``mapInPandas`` pass
+    emits (doc_id, token, c) directly, and downstream per-doc
+    aggregations (entropy, xent) collapse to one shuffled row per doc
+    via partial aggs.  Tokenizer parity with the JVM ``tokens()``
+    (= split(trim(text), '\\s+') + drop empties) is EXACT: Spark's
+    ``trim`` strips 0x20 spaces only, Java regex ``\\s`` is ASCII-only
+    — mirrored by ``str.strip(" ")`` + ``re.compile(r"\\s+",
+    re.ASCII)`` + dropping empty tokens (a unicode-whitespace-aware
+    Python tokenizer would shred tokens the JVM keeps whole; parity is
+    property-tested against the explode formulation on unicode
+    inputs)."""
+    import re
+    from collections import Counter
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def count_tokens(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            toks: list = []
+            cnts: list = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                c = Counter(ws.split(text.strip(" ")))
+                c.pop("", None)
+                if not c:
+                    continue
+                ids.extend([did] * len(c))
+                toks.extend(c.keys())
+                cnts.extend(c.values())
+            yield pd.DataFrame({"doc_id": ids, "token": toks, "c": cnts})
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        count_tokens, f"doc_id {id_type}, token string, c bigint"
     )
 
 
