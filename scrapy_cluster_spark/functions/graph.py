@@ -382,7 +382,11 @@ def pagerank(
         store = scratch_store(spark, "scs-pr-")
     n = nodes.select(F.col(id_col).alias("node")).persist()
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # outdeg is consumed twice before ew's cache exists — by the
+    # dangling probe (which picks the loop variant) and by ew itself;
+    # without its own persist the probe recomputed the caller's whole
+    # edge derivation (round-6: the LCG graph's distinct ran twice)
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg")).persist()
     ew = e.join(outdeg, "src").persist()
     cached = None
     prev = None
@@ -469,6 +473,7 @@ def pagerank(
         return store.read("pr_result", out.schema, v)
     finally:
         ew.unpersist()
+        outdeg.unpersist()
         n.unpersist()
         if cached is not None:
             cached.unpersist()
